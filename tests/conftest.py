@@ -10,6 +10,7 @@ import os
 # Force CPU even when the session environment points JAX at a real TPU
 # (JAX_PLATFORMS=axon): tests must be hermetic and multi-device.
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["PALLAS_AXON_POOL_IPS"] = ""  # keep sitecustomize from grabbing the TPU
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,4 +19,13 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# sitecustomize (axon TPU plugin) sets jax_platforms directly at interpreter
+# start; backend init is lazy, so overriding the config here still wins.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+
+assert jax.default_backend() == "cpu"
+assert jax.device_count() == 8, (
+    "test harness expects 8 fake CPU devices; got "
+    f"{jax.device_count()} on {jax.default_backend()}"
+)
