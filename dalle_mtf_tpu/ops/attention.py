@@ -1,0 +1,257 @@
+"""Fused causal attention (Pallas flash attention) + local-window variant.
+
+The reference delegated attention to black-box mtf kernels:
+``mtf_transformer.attention.attention`` with an additive -1e10 causal mask
+materialized over the full [seq, seq] square (src/dalle_mtf/models.py:221-227,
+287-299) and ``local_attention_1d`` with a radius (models.py:257-273). Here
+the hot path is a Pallas flash-attention kernel: online softmax, no
+materialized mask or [S, S] score tensor in HBM, bf16 in / fp32 accumulate on
+the MXU. The local variant is the same kernel with a band mask — unlike the
+reference, it is actually reachable (``attention_type: "local"`` in config).
+
+Backward pass: flash forward is wrapped in ``jax.custom_vjp`` whose backward
+recomputes attention with the XLA reference implementation and differentiates
+that — flash-attn-style rematerialization (no [S, S] residuals saved), with
+XLA fusing the backward matmuls. A fully hand-written Pallas backward is a
+later optimization; the contract (no quadratic memory in the residuals) holds
+now.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 256
+NEG_INF = -1e10  # matches the reference's additive mask value (models.py:227)
+
+
+def attention_reference(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    causal: bool = True,
+    window: int | None = None,
+) -> jax.Array:
+    """XLA reference attention. q,k,v: [B, H, S, D] -> [B, H, S, D].
+
+    Semantics match mtf attention with the additive causal mask
+    (models.py:221-227): scores scaled by D^-0.5, mask adds -1e10.
+    """
+    *_, s_q, d = q.shape
+    s_k = k.shape[-2]
+    scale = 1.0 / math.sqrt(d)
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    i = jnp.arange(s_q)[:, None] + (s_k - s_q)
+    j = jnp.arange(s_k)[None, :]
+    mask = jnp.zeros((s_q, s_k), jnp.float32)
+    if causal:
+        mask = jnp.where(j > i, NEG_INF, mask)
+    if window is not None:
+        mask = jnp.where(i - j >= window, NEG_INF, mask)
+    scores = scores + mask
+    weights = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", weights.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, window, seq_len: int):
+    """One (batch*head, q-block) program of causal flash attention.
+
+    q_ref: [block_q, D]; k_ref/v_ref: [S, D] (whole sequence for this head —
+    at DALLE's scale S*D*2B is a few hundred KB, comfortably VMEM-resident);
+    o_ref: [block_q, D].
+    """
+    block_q = q_ref.shape[0]
+    d = q_ref.shape[1]
+    qi = pl.program_id(1)
+    q_offset = qi * block_q
+
+    scale = 1.0 / math.sqrt(d)
+    q = q_ref[...].astype(jnp.float32) * scale
+
+    # Causal: only kv blocks whose start is <= the last query row.
+    num_kv_blocks = jax.lax.div(q_offset + block_q - 1, block_k) + 1
+
+    row_ids = q_offset + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+
+    def body(j, carry):
+        acc, m_prev, l_prev = carry
+        k_blk = k_ref[pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[pl.ds(j * block_k, block_k), :]
+        s = jax.lax.dot_general(
+            q, k_blk,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [block_q, block_k]
+        col_ids = j * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        mask = col_ids > row_ids
+        # Keys beyond the true sequence length (block padding) always sit at
+        # col > row for causal use, but guard explicitly for safety.
+        mask = jnp.logical_or(mask, col_ids >= seq_len)
+        if window is not None:
+            mask = jnp.logical_or(mask, row_ids - col_ids >= window)
+        s = jnp.where(mask, NEG_INF, s)
+
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p.astype(v_blk.dtype), v_blk,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc, m_new, l_new
+
+    acc = jnp.zeros((block_q, d), jnp.float32)
+    m0 = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc, _, l = jax.lax.fori_loop(0, num_kv_blocks, body, (acc, m0, l0))
+    o_ref[...] = (acc / l).astype(o_ref.dtype)
+
+
+def _flash_forward(
+    q, k, v, window, block_q: int, block_k: int, interpret: bool
+):
+    b, h, s, d = q.shape
+    block_q = min(block_q, s)
+    block_k = min(block_k, s)
+    s_pad = ((s + block_q - 1) // block_q) * block_q
+    # Pad seq to a block multiple; padded keys are masked by seq_len guard,
+    # padded query rows are sliced off below.
+    if s_pad != s:
+        pad = [(0, 0), (0, 0), (0, s_pad - s), (0, 0)]
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+
+    bh = b * h
+    qf = q.reshape(bh, s_pad, d)
+    kf = k.reshape(bh, s_pad, d)
+    vf = v.reshape(bh, s_pad, d)
+
+    grid = (bh, s_pad // block_q)
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel, block_k=block_k, window=window, seq_len=s
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda b_, i: (b_, i, 0)),
+            pl.BlockSpec((None, s_pad, d), lambda b_, i: (b_, 0, 0)),
+            pl.BlockSpec((None, s_pad, d), lambda b_, i: (b_, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, d), lambda b_, i: (b_, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, s_pad, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * bh * s_pad * s_pad * d // 2,  # ~causal half
+            bytes_accessed=4 * bh * s_pad * d * q.dtype.itemsize,
+            transcendentals=bh * s_pad * s_pad // 2,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf)
+    out = out.reshape(b, h, s_pad, d)
+    if s_pad != s:
+        out = out[:, :, :s, :]
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_attention(q, k, v, window, block_q, block_k, interpret, _tag):
+    return _flash_forward(q, k, v, window, block_q, block_k, interpret)
+
+
+def _flash_fwd(q, k, v, window, block_q, block_k, interpret, _tag):
+    out = _flash_forward(q, k, v, window, block_q, block_k, interpret)
+    return out, (q, k, v)
+
+
+def _flash_bwd(window, block_q, block_k, interpret, _tag, res, g):
+    q, k, v = res
+    # Rematerialize attention with the XLA implementation and differentiate
+    # it — no [S, S] tensors were saved by the forward.
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: attention_reference(q_, k_, v_, True, window), q, k, v
+    )
+    return vjp(g)
+
+
+_flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:
+        return False
+
+
+def causal_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    window: int | None = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    use_pallas: bool | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Causal (optionally banded/local) multi-head attention.
+
+    q, k, v: [batch, heads, seq, head_dim]. ``window=r`` reproduces the
+    reference's ``local_attention_1d(radius=r)`` capability
+    (models.py:257-273) as a band mask. Dispatches to the Pallas kernel on
+    TPU, to the XLA reference elsewhere.
+    """
+    if use_pallas is None:
+        use_pallas = _on_tpu() or interpret
+    d = q.shape[-1]
+    if use_pallas and d % 128 == 0:
+        return _flash_attention(
+            q, k, v, window, block_q, block_k, interpret, "causal"
+        )
+    return attention_reference(q, k, v, True, window)
+
+
+def decode_attention(
+    q: jax.Array, k_cache: jax.Array, v_cache: jax.Array, position: jax.Array
+) -> jax.Array:
+    """Single-position attention against a KV cache.
+
+    q: [B, H, 1, D]; k_cache/v_cache: [B, H, S, D] with valid entries in
+    [0, position]. Completes the incremental-inference path the reference
+    only scaffolded (models.py:246-254). Small enough that XLA's fused
+    matmul+softmax is at speed-of-light; no kernel needed.
+    """
+    d = q.shape[-1]
+    scale = 1.0 / math.sqrt(d)
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k_cache, preferred_element_type=jnp.float32
+    ) * scale
+    s = k_cache.shape[-2]
+    mask = jnp.arange(s)[None, None, None, :] > position
+    scores = jnp.where(mask, NEG_INF, scores)
+    weights = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", weights.astype(v_cache.dtype), v_cache,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)

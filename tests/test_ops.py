@@ -1,0 +1,126 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dalle_mtf_tpu.ops import (
+    causal_attention,
+    attention_reference,
+    gumbel_softmax,
+    mse_loss,
+    softmax_cross_entropy_with_logits,
+)
+
+
+class TestGumbelSoftmax:
+    def test_soft_sums_to_one(self):
+        rng = jax.random.PRNGKey(0)
+        logits = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 8, 32))
+        out = gumbel_softmax(rng, logits, temperature=0.5, hard=False)
+        np.testing.assert_allclose(np.asarray(out.sum(-1)), 1.0, rtol=1e-5)
+
+    def test_hard_is_one_hot(self):
+        rng = jax.random.PRNGKey(0)
+        logits = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 4, 16))
+        out = gumbel_softmax(rng, logits, temperature=1.0, hard=True)
+        assert set(np.unique(np.asarray(out))) <= {0.0, 1.0} or np.allclose(
+            np.asarray(out.sum(-1)), 1.0
+        )
+        np.testing.assert_allclose(np.asarray(out.sum(-1)), 1.0, rtol=1e-5)
+
+    def test_straight_through_gradient_flows(self):
+        # hard output in fwd, soft gradient in bwd (stop_gradient trick)
+        logits = jnp.array([[2.0, 1.0, 0.5]])
+
+        def f(lg):
+            s = gumbel_softmax(jax.random.PRNGKey(0), lg, 1.0, hard=True)
+            return (s * jnp.array([[1.0, 2.0, 3.0]])).sum()
+
+        g = jax.grad(f)(logits)
+        assert np.abs(np.asarray(g)).sum() > 0
+
+    def test_low_temperature_recovers_argmax(self):
+        logits = jnp.array([[10.0, 0.0, -10.0]])
+        out = gumbel_softmax(jax.random.PRNGKey(3), logits, temperature=0.01, hard=True)
+        assert int(jnp.argmax(out)) == 0
+
+
+class TestLosses:
+    def test_mse(self):
+        a, b = jnp.ones((2, 3)), jnp.zeros((2, 3))
+        assert float(mse_loss(a, b)) == 1.0
+
+    def test_xent_matches_manual(self):
+        logits = jax.random.normal(jax.random.PRNGKey(0), (4, 7, 13))
+        targets = jax.random.randint(jax.random.PRNGKey(1), (4, 7), 0, 13)
+        loss = softmax_cross_entropy_with_logits(logits, targets)
+        log_probs = jax.nn.log_softmax(logits, -1)
+        expected = -jnp.take_along_axis(log_probs, targets[..., None], -1)[..., 0]
+        np.testing.assert_allclose(np.asarray(loss), np.asarray(expected), rtol=1e-5)
+
+    def test_z_loss_increases_loss(self):
+        logits = 5 + jax.random.normal(jax.random.PRNGKey(0), (4, 13))
+        targets = jnp.zeros((4,), jnp.int32)
+        l0 = softmax_cross_entropy_with_logits(logits, targets, z_loss=0.0)
+        l1 = softmax_cross_entropy_with_logits(logits, targets, z_loss=1e-2)
+        assert float(l1.mean()) > float(l0.mean())
+
+
+class TestAttention:
+    @pytest.mark.parametrize("seq", [128, 256, 320])
+    def test_pallas_matches_reference_causal(self, seq):
+        b, h, d = 2, 2, 128
+        ks = jax.random.split(jax.random.PRNGKey(0), 3)
+        q = jax.random.normal(ks[0], (b, h, seq, d), jnp.float32)
+        k = jax.random.normal(ks[1], (b, h, seq, d), jnp.float32)
+        v = jax.random.normal(ks[2], (b, h, seq, d), jnp.float32)
+        ref = attention_reference(q, k, v, causal=True)
+        out = causal_attention(
+            q, k, v, block_q=128, block_k=128, use_pallas=True, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_pallas_matches_reference_local_window(self):
+        b, h, seq, d = 1, 2, 256, 128
+        ks = jax.random.split(jax.random.PRNGKey(7), 3)
+        q, k, v = (jax.random.normal(kk, (b, h, seq, d), jnp.float32) for kk in ks)
+        ref = attention_reference(q, k, v, causal=True, window=64)
+        out = causal_attention(
+            q, k, v, window=64, block_q=128, block_k=128,
+            use_pallas=True, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_causal_no_future_leakage(self):
+        b, h, seq, d = 1, 1, 64, 32
+        ks = jax.random.split(jax.random.PRNGKey(2), 3)
+        q, k, v = (jax.random.normal(kk, (b, h, seq, d), jnp.float32) for kk in ks)
+        out1 = attention_reference(q, k, v, causal=True)
+        # perturb the future half of k/v; first half of output must not change
+        k2 = k.at[:, :, seq // 2 :].set(0.0)
+        v2 = v.at[:, :, seq // 2 :].set(0.0)
+        out2 = attention_reference(q, k2, v2, causal=True)
+        np.testing.assert_allclose(
+            np.asarray(out1[:, :, : seq // 2]),
+            np.asarray(out2[:, :, : seq // 2]),
+            atol=1e-6,
+        )
+
+    def test_gradients_flow_through_flash(self):
+        b, h, seq, d = 1, 1, 128, 128
+        ks = jax.random.split(jax.random.PRNGKey(5), 3)
+        q, k, v = (jax.random.normal(kk, (b, h, seq, d), jnp.float32) for kk in ks)
+
+        def loss_flash(q_, k_, v_):
+            return causal_attention(
+                q_, k_, v_, block_q=128, block_k=128,
+                use_pallas=True, interpret=True,
+            ).sum()
+
+        def loss_ref(q_, k_, v_):
+            return attention_reference(q_, k_, v_, causal=True).sum()
+
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4)
