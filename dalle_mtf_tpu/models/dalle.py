@@ -1,0 +1,431 @@
+"""DALL-E: decoder-only autoregressive transformer over [text ; image] tokens.
+
+Capability parity with the reference's mtf DALLE (src/dalle_mtf/models.py:
+141-416): combined vocabulary text_vocab + image_vocab + 1 EOS (:157-158),
+learned token (stddev 0.02) and positional (stddev 0.01) embeddings
+(:186-219), pre-LN blocks of causal attention + 4x MLP with relu (:326-335),
+depth-scaled init on residual-output projections (:361-371), fp32 logits
+(:391-395), and the shifted next-token cross-entropy loss with EOS appended
+(:348-359, 397-416). Local windowed attention (radius, :257-273) is supported
+and — unlike the reference, whose ``transformer()`` only ever calls global
+attention (:330) — actually selectable via ``attention_type``.
+
+TPU-first design choices (not a port):
+- layer parameters are stacked on a leading [n_layers] axis and the block is
+  a single ``lax.scan`` body — one compiled block regardless of depth, with
+  ``jax.checkpoint`` applied to the body when recompute_grad is on (the
+  reference's per-layer mtf.recompute_grad, models.py:337-346);
+- attention is the Pallas flash kernel (ops/attention.py) — no materialized
+  [S, S] mask (the reference builds a dense -1e10 mask, models.py:221-227);
+- the KV cache is a pytree updated with dynamic_update_slice inside a
+  compiled decode loop — completing the incremental-inference path the
+  reference only scaffolded (models.py:246-254, PREDICT raises).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Callable, Mapping
+
+import jax
+import jax.numpy as jnp
+
+from dalle_mtf_tpu.ops.attention import causal_attention, decode_attention
+from dalle_mtf_tpu.ops.losses import softmax_cross_entropy_with_logits
+from dalle_mtf_tpu.utils.precision import Policy, get_policy
+
+# Logical dimension names (the config "layout" string maps these to mesh axes;
+# names follow the reference's mtf Dimension names, dalle_mtf/models.py:159-168).
+LAYERS = "layers"
+VOCAB = "vocab_dim"
+EMBED = "embed_dim"
+SEQ = "total_seq_dim"
+EMBED_SEQ = "embed_seq_dim"
+HEADS = "heads_dim"
+KV = "kv_dim"
+INTERMEDIATE = "intermediate_expanded"
+BATCH = "batch_dim"
+
+
+@dataclasses.dataclass(frozen=True)
+class DalleConfig:
+    n_embd: int
+    text_vocab_size: int = 12800
+    image_vocab_size: int = 512
+    text_seq_len: int = 256
+    image_seq_len: int = 1024
+    n_layers: int = 6
+    n_heads: int = 8
+    bf_16: bool = False
+    recompute_grad: bool = False
+    attention_type: str = "global"  # "global" | "local"
+    local_attention_radius: int = 256  # reference default (models.py:259)
+    embed_dropout: float = 0.0
+    attention_dropout: float = 0.0
+    residual_dropout: float = 0.0
+    scale_type: str = "scale_by_depth"  # | "scale_by_in" (models.py:362-368)
+    eos_token_id: int | None = None
+
+    @classmethod
+    def from_params(
+        cls, params: Mapping[str, Any], image_seq_len: int
+    ) -> "DalleConfig":
+        return cls(
+            n_embd=params["n_embd"],
+            text_vocab_size=params["text_vocab_size"],
+            image_vocab_size=params["image_vocab_size"],
+            text_seq_len=params["text_seq_len"],
+            image_seq_len=image_seq_len,
+            n_layers=params["n_layers"],
+            n_heads=params["n_heads"],
+            bf_16=bool(params.get("bf_16")),
+            recompute_grad=bool(params.get("recompute_grad")),
+            attention_type=params.get("attention_type") or "global",
+            local_attention_radius=params.get("local_attention_radius") or 256,
+            embed_dropout=params.get("embed_dropout") or 0.0,
+            attention_dropout=params.get("attention_dropout") or 0.0,
+            residual_dropout=params.get("residual_dropout") or 0.0,
+            scale_type=params.get("scale_type") or "scale_by_depth",
+            eos_token_id=params.get("eos_token_id"),
+        )
+
+    @property
+    def total_tokens(self) -> int:
+        # text + image vocab + 1 EOS (reference models.py:157-158)
+        return self.text_vocab_size + self.image_vocab_size + 1
+
+    @property
+    def eos(self) -> int:
+        return self.total_tokens - 1 if self.eos_token_id is None else self.eos_token_id
+
+    @property
+    def total_seq_len(self) -> int:
+        return self.text_seq_len + self.image_seq_len
+
+    @property
+    def head_dim(self) -> int:
+        assert self.n_embd % self.n_heads == 0, "n_embd must divide n_heads"
+        return self.n_embd // self.n_heads
+
+    @property
+    def policy(self) -> Policy:
+        return get_policy(self.bf_16)
+
+
+def _normal(rng, shape, stddev):
+    return stddev * jax.random.normal(rng, shape, jnp.float32)
+
+
+class DALLE:
+    def __init__(self, config: DalleConfig):
+        self.cfg = config
+
+    # ------------------------------------------------------------------ init
+
+    def init(self, rng: jax.Array) -> dict:
+        cfg = self.cfg
+        e, h, d = cfg.n_embd, cfg.n_heads, cfg.head_dim
+        inter = 4 * e
+        ks = jax.random.split(rng, 12)
+        # Residual-output projections get depth-scaled init
+        # (reference linear(scale=True), models.py:361-371).
+        if cfg.scale_type == "scale_by_depth":
+            out_std = 0.02 / math.sqrt(cfg.n_layers)
+        elif cfg.scale_type == "scale_by_in":
+            out_std = 0.02 / math.sqrt(e)
+        else:
+            out_std = 0.02
+        L = cfg.n_layers
+
+        def stack(rng_, shape, stddev):
+            return _normal(rng_, (L,) + shape, stddev)
+
+        layers = {
+            "ln1_g": jnp.ones((L, e)),
+            "ln1_b": jnp.zeros((L, e)),
+            "wq": stack(ks[0], (e, h, d), 0.02),
+            "wk": stack(ks[1], (e, h, d), 0.02),
+            "wv": stack(ks[2], (e, h, d), 0.02),
+            "wo": stack(ks[3], (h, d, e), 0.02),
+            "o_b": jnp.zeros((L, e)),
+            "ln2_g": jnp.ones((L, e)),
+            "ln2_b": jnp.zeros((L, e)),
+            "w_mlp1": stack(ks[4], (e, inter), 0.02),
+            "b_mlp1": jnp.zeros((L, inter)),
+            "w_mlp2": stack(ks[5], (inter, e), out_std),
+            "b_mlp2": jnp.zeros((L, e)),
+        }
+        return {
+            "wte": _normal(ks[6], (cfg.total_tokens, e), 0.02),
+            "wpe": _normal(ks[7], (cfg.total_seq_len, e), 0.01),
+            "layers": layers,
+            "lnf_g": jnp.ones((e,)),
+            "lnf_b": jnp.zeros((e,)),
+            "w_out": _normal(ks[8], (e, cfg.total_tokens), 0.02),
+            "b_out": jnp.zeros((cfg.total_tokens,)),
+        }
+
+    def logical_axes(self) -> dict:
+        return {
+            "wte": (VOCAB, EMBED),
+            "wpe": (EMBED_SEQ, EMBED),
+            "layers": {
+                "ln1_g": (LAYERS, EMBED),
+                "ln1_b": (LAYERS, EMBED),
+                "wq": (LAYERS, EMBED, HEADS, KV),
+                "wk": (LAYERS, EMBED, HEADS, KV),
+                "wv": (LAYERS, EMBED, HEADS, KV),
+                "wo": (LAYERS, HEADS, KV, EMBED),
+                "o_b": (LAYERS, EMBED),
+                "ln2_g": (LAYERS, EMBED),
+                "ln2_b": (LAYERS, EMBED),
+                "w_mlp1": (LAYERS, EMBED, INTERMEDIATE),
+                "b_mlp1": (LAYERS, INTERMEDIATE),
+                "w_mlp2": (LAYERS, INTERMEDIATE, EMBED),
+                "b_mlp2": (LAYERS, EMBED),
+            },
+            "lnf_g": (EMBED,),
+            "lnf_b": (EMBED,),
+            "w_out": (EMBED, VOCAB),
+            "b_out": (VOCAB,),
+        }
+
+    # --------------------------------------------------------------- helpers
+
+    @staticmethod
+    def _layer_norm(x, g, b, eps=1e-5):
+        # reference layer_norm (models.py:373-389): normalize then affine,
+        # computed in fp32 for stability.
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.var(x32, axis=-1, keepdims=True)
+        out = (x32 - mean) * jax.lax.rsqrt(var + eps)
+        out = out * g.astype(jnp.float32) + b.astype(jnp.float32)
+        return out.astype(x.dtype)
+
+    def _dropout(self, rng, x, rate, train):
+        if not train or rate <= 0.0:
+            return x
+        keep = 1.0 - rate
+        mask = jax.random.bernoulli(rng, keep, x.shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+    def _block(self, p, x, rng, train: bool, constrain):
+        """One pre-LN transformer block (reference models.py:326-335)."""
+        cfg = self.cfg
+        dtype = cfg.policy.compute_dtype
+        b, s, e = x.shape
+        h, d = cfg.n_heads, cfg.head_dim
+        r_attn, r_res1, r_res2 = jax.random.split(rng, 3)
+
+        # --- attention
+        a_in = self._layer_norm(x, p["ln1_g"], p["ln1_b"])
+        q = jnp.einsum("bse,ehd->bhsd", a_in, p["wq"].astype(dtype))
+        k = jnp.einsum("bse,ehd->bhsd", a_in, p["wk"].astype(dtype))
+        v = jnp.einsum("bse,ehd->bhsd", a_in, p["wv"].astype(dtype))
+        q, k, v = (constrain(t, BATCH, HEADS, SEQ, KV) for t in (q, k, v))
+        window = (
+            cfg.local_attention_radius if cfg.attention_type == "local" else None
+        )
+        if train and cfg.attention_dropout > 0.0:
+            # weight-dropout needs materialized scores; use the XLA path
+            from dalle_mtf_tpu.ops.attention import attention_reference  # noqa: PLC0415
+
+            a = attention_reference(q, k, v, causal=True, window=window)
+            a = self._dropout(r_attn, a, cfg.attention_dropout, train)
+        else:
+            a = causal_attention(q, k, v, window=window)
+        a = constrain(a, BATCH, HEADS, SEQ, KV)
+        a = jnp.einsum("bhsd,hde->bse", a, p["wo"].astype(dtype))
+        a = a + p["o_b"].astype(dtype)
+        a = self._dropout(r_res1, a, cfg.residual_dropout, train)
+        x = x + a
+        x = constrain(x, BATCH, SEQ, EMBED)
+
+        # --- mlp (4x expansion, relu — reference models.py:317-333)
+        m_in = self._layer_norm(x, p["ln2_g"], p["ln2_b"])
+        hdn = jnp.einsum("bse,ei->bsi", m_in, p["w_mlp1"].astype(dtype))
+        hdn = jax.nn.relu(hdn + p["b_mlp1"].astype(dtype))
+        hdn = constrain(hdn, BATCH, SEQ, INTERMEDIATE)
+        m = jnp.einsum("bsi,ie->bse", hdn, p["w_mlp2"].astype(dtype))
+        m = m + p["b_mlp2"].astype(dtype)
+        m = self._dropout(r_res2, m, cfg.residual_dropout, train)
+        x = x + m
+        return constrain(x, BATCH, SEQ, EMBED)
+
+    # --------------------------------------------------------------- forward
+
+    def forward(
+        self,
+        params,
+        tokens: jax.Array,
+        rng: jax.Array | None = None,
+        train: bool = False,
+        constrain: Callable | None = None,
+    ) -> jax.Array:
+        """tokens [B, S] int32 -> logits [B, S, total_tokens] fp32."""
+        cfg = self.cfg
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        if constrain is None:
+            constrain = lambda x, *axes: x  # noqa: E731
+        dtype = cfg.policy.compute_dtype
+        s = tokens.shape[1]
+
+        x = params["wte"].astype(dtype)[tokens]
+        x = x + params["wpe"].astype(dtype)[:s]
+        r_embed, r_layers = jax.random.split(rng)
+        x = self._dropout(r_embed, x, cfg.embed_dropout, train)
+        x = constrain(x, BATCH, SEQ, EMBED)
+
+        layer_rngs = jax.random.split(r_layers, cfg.n_layers)
+
+        def body(x_, scanned):
+            p, r = scanned
+            return self._block(p, x_, r, train, constrain), None
+
+        if cfg.recompute_grad and train:
+            body = jax.checkpoint(body)
+        x, _ = jax.lax.scan(body, x, (params["layers"], layer_rngs))
+
+        x = self._layer_norm(x, params["lnf_g"], params["lnf_b"])
+        logits = jnp.einsum(
+            "bse,ev->bsv", x.astype(jnp.float32), params["w_out"],
+            preferred_element_type=jnp.float32,
+        )
+        return logits + params["b_out"]
+
+    def loss(
+        self,
+        params,
+        tokens: jax.Array,
+        rng: jax.Array | None = None,
+        train: bool = True,
+        constrain: Callable | None = None,
+        z_loss: float = 0.0,
+    ):
+        """Next-token xent, labels = shift-left(tokens) + EOS appended
+        (reference models.py:397-416). Returns (scalar mean loss fp32,
+        per-position loss [B, S])."""
+        logits = self.forward(params, tokens, rng, train, constrain)
+        eos_col = jnp.full((tokens.shape[0], 1), self.cfg.eos, tokens.dtype)
+        labels = jnp.concatenate([tokens[:, 1:], eos_col], axis=1)
+        loss_batch = softmax_cross_entropy_with_logits(logits, labels, z_loss)
+        return loss_batch.mean(), loss_batch
+
+    # --------------------------------------------------------- KV-cache path
+
+    def init_cache(self, batch: int, max_len: int | None = None) -> dict:
+        cfg = self.cfg
+        s = max_len or cfg.total_seq_len
+        shape = (cfg.n_layers, batch, cfg.n_heads, s, cfg.head_dim)
+        dtype = cfg.policy.compute_dtype
+        return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+    def prefill(self, params, tokens: jax.Array, cache: dict) -> tuple[jax.Array, dict]:
+        """Run the prompt through the model, filling cache[:, :, :S].
+
+        Returns (logits at the last position [B, vocab] fp32, cache).
+        """
+        cfg = self.cfg
+        dtype = cfg.policy.compute_dtype
+        s = tokens.shape[1]
+        x = params["wte"].astype(dtype)[tokens] + params["wpe"].astype(dtype)[:s]
+
+        def body(x_, scanned):
+            p, = scanned
+            a_in = self._layer_norm(x_, p["ln1_g"], p["ln1_b"])
+            q = jnp.einsum("bse,ehd->bhsd", a_in, p["wq"].astype(dtype))
+            k = jnp.einsum("bse,ehd->bhsd", a_in, p["wk"].astype(dtype))
+            v = jnp.einsum("bse,ehd->bhsd", a_in, p["wv"].astype(dtype))
+            window = (
+                cfg.local_attention_radius
+                if cfg.attention_type == "local"
+                else None
+            )
+            a = causal_attention(q, k, v, window=window)
+            a = jnp.einsum("bhsd,hde->bse", a, p["wo"].astype(dtype)) + p["o_b"].astype(dtype)
+            x_ = x_ + a
+            m_in = self._layer_norm(x_, p["ln2_g"], p["ln2_b"])
+            hdn = jax.nn.relu(
+                jnp.einsum("bse,ei->bsi", m_in, p["w_mlp1"].astype(dtype))
+                + p["b_mlp1"].astype(dtype)
+            )
+            m = jnp.einsum("bsi,ie->bse", hdn, p["w_mlp2"].astype(dtype)) + p["b_mlp2"].astype(dtype)
+            x_ = x_ + m
+            return x_, (k, v)
+
+        x, (ks, vs) = jax.lax.scan(body, x, (params["layers"],))
+        cache = {
+            "k": jax.lax.dynamic_update_slice(
+                cache["k"], ks.astype(cache["k"].dtype), (0, 0, 0, 0, 0)
+            ),
+            "v": jax.lax.dynamic_update_slice(
+                cache["v"], vs.astype(cache["v"].dtype), (0, 0, 0, 0, 0)
+            ),
+        }
+        x = self._layer_norm(x, params["lnf_g"], params["lnf_b"])
+        logits = (
+            jnp.einsum(
+                "be,ev->bv", x[:, -1].astype(jnp.float32), params["w_out"],
+                preferred_element_type=jnp.float32,
+            )
+            + params["b_out"]
+        )
+        return logits, cache
+
+    def decode_step(
+        self, params, cache: dict, token: jax.Array, position: jax.Array
+    ) -> tuple[jax.Array, dict]:
+        """One incremental step: token [B] at ``position`` -> logits [B, vocab].
+
+        Completes the reference's unfinished incremental-inference path
+        (one-hot scatter into cached k/v, models.py:246-254 — here a
+        dynamic_update_slice, which XLA lowers to an in-place DMA).
+        """
+        cfg = self.cfg
+        dtype = cfg.policy.compute_dtype
+        b = token.shape[0]
+        x = params["wte"].astype(dtype)[token]  # [B, E]
+        # position embedding: reference gathers wpe at context.position - 1 in
+        # incremental mode (models.py:212-213) where position is 1-indexed;
+        # ours is 0-indexed.
+        x = x + params["wpe"].astype(dtype)[position]
+        x = x[:, None, :]  # [B, 1, E]
+
+        def body(x_, scanned):
+            p, k_cache, v_cache = scanned
+            a_in = self._layer_norm(x_, p["ln1_g"], p["ln1_b"])
+            q = jnp.einsum("bse,ehd->bhsd", a_in, p["wq"].astype(dtype))
+            k_new = jnp.einsum("bse,ehd->bhsd", a_in, p["wk"].astype(dtype))
+            v_new = jnp.einsum("bse,ehd->bhsd", a_in, p["wv"].astype(dtype))
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, k_new.astype(k_cache.dtype), (0, 0, position, 0)
+            )
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, v_new.astype(v_cache.dtype), (0, 0, position, 0)
+            )
+            a = decode_attention(q, k_cache, v_cache, position)
+            a = jnp.einsum("bhsd,hde->bse", a, p["wo"].astype(dtype)) + p["o_b"].astype(dtype)
+            x_ = x_ + a
+            m_in = self._layer_norm(x_, p["ln2_g"], p["ln2_b"])
+            hdn = jax.nn.relu(
+                jnp.einsum("bse,ei->bsi", m_in, p["w_mlp1"].astype(dtype))
+                + p["b_mlp1"].astype(dtype)
+            )
+            m = jnp.einsum("bsi,ie->bse", hdn, p["w_mlp2"].astype(dtype)) + p["b_mlp2"].astype(dtype)
+            x_ = x_ + m
+            return x_, (k_cache, v_cache)
+
+        x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], cache["k"], cache["v"]))
+        cache = {"k": new_k, "v": new_v}
+        x = self._layer_norm(x[:, 0], params["lnf_g"], params["lnf_b"])
+        logits = (
+            jnp.einsum(
+                "be,ev->bv", x.astype(jnp.float32), params["w_out"],
+                preferred_element_type=jnp.float32,
+            )
+            + params["b_out"]
+        )
+        return logits, cache

@@ -1,0 +1,142 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from dalle_mtf_tpu.models.dalle import DALLE, DalleConfig
+
+
+CFG = DalleConfig(
+    n_embd=64,
+    text_vocab_size=50,
+    image_vocab_size=20,
+    text_seq_len=8,
+    image_seq_len=16,
+    n_layers=2,
+    n_heads=2,
+)
+
+
+def _tokens(key, b=2, cfg=CFG):
+    return jax.random.randint(key, (b, cfg.total_seq_len), 0, cfg.total_tokens)
+
+
+class TestDalleForward:
+    def test_logits_shape_and_dtype(self):
+        model = DALLE(CFG)
+        params = model.init(jax.random.PRNGKey(0))
+        logits = model.forward(params, _tokens(jax.random.PRNGKey(1)))
+        assert logits.shape == (2, 24, CFG.total_tokens)
+        assert logits.dtype == jnp.float32  # fp32 logits (reference :391-395)
+
+    def test_vocab_is_text_plus_image_plus_eos(self):
+        assert CFG.total_tokens == 50 + 20 + 1
+        assert CFG.eos == 70
+
+    def test_loss_labels_shifted_with_eos(self):
+        """loss(tokens)[.., i] must be xent of predicting tokens[i+1], with the
+        last label = EOS (reference models.py:407-411)."""
+        model = DALLE(CFG)
+        params = model.init(jax.random.PRNGKey(0))
+        tokens = _tokens(jax.random.PRNGKey(1))
+        loss, loss_batch = model.loss(params, tokens, train=False)
+        assert loss_batch.shape == tokens.shape
+        logits = model.forward(params, tokens, train=False)
+        # manual last-position check: label is EOS
+        lp = jax.nn.log_softmax(logits[:, -1], -1)
+        expected_last = -lp[:, CFG.eos]
+        np.testing.assert_allclose(
+            np.asarray(loss_batch[:, -1]), np.asarray(expected_last), rtol=1e-5
+        )
+
+    def test_causality(self):
+        model = DALLE(CFG)
+        params = model.init(jax.random.PRNGKey(0))
+        tokens = _tokens(jax.random.PRNGKey(1))
+        logits1 = model.forward(params, tokens, train=False)
+        # perturb the last token: logits at positions < last must not move
+        tokens2 = tokens.at[:, -1].set((tokens[:, -1] + 1) % CFG.total_tokens)
+        logits2 = model.forward(params, tokens2, train=False)
+        np.testing.assert_allclose(
+            np.asarray(logits1[:, :-1]), np.asarray(logits2[:, :-1]), atol=1e-5
+        )
+
+    def test_local_attention_variant_runs(self):
+        cfg = DalleConfig(
+            n_embd=64, text_vocab_size=50, image_vocab_size=20,
+            text_seq_len=8, image_seq_len=16, n_layers=2, n_heads=2,
+            attention_type="local", local_attention_radius=4,
+        )
+        model = DALLE(cfg)
+        params = model.init(jax.random.PRNGKey(0))
+        logits = model.forward(params, _tokens(jax.random.PRNGKey(1), cfg=cfg))
+        assert np.isfinite(np.asarray(logits)).all()
+
+    def test_recompute_grad_matches(self):
+        tokens = _tokens(jax.random.PRNGKey(1))
+        cfg_r = DalleConfig(
+            n_embd=64, text_vocab_size=50, image_vocab_size=20,
+            text_seq_len=8, image_seq_len=16, n_layers=2, n_heads=2,
+            recompute_grad=True,
+        )
+        params = DALLE(CFG).init(jax.random.PRNGKey(0))
+        g1 = jax.grad(lambda p: DALLE(CFG).loss(p, tokens, train=True)[0])(params)
+        g2 = jax.grad(lambda p: DALLE(cfg_r).loss(p, tokens, train=True)[0])(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestIncrementalDecode:
+    def test_prefill_then_decode_matches_parallel_forward(self):
+        """KV-cache incremental logits == full parallel forward logits."""
+        model = DALLE(CFG)
+        params = model.init(jax.random.PRNGKey(0))
+        tokens = _tokens(jax.random.PRNGKey(1), b=2)
+        full_logits = model.forward(params, tokens, train=False)
+
+        prompt_len = CFG.text_seq_len
+        cache = model.init_cache(batch=2)
+        logits_p, cache = model.prefill(params, tokens[:, :prompt_len], cache)
+        np.testing.assert_allclose(
+            np.asarray(logits_p), np.asarray(full_logits[:, prompt_len - 1]),
+            atol=2e-4,
+        )
+        # decode the rest one token at a time
+        for pos in range(prompt_len, CFG.total_seq_len):
+            logits_i, cache = model.decode_step(
+                params, cache, tokens[:, pos], jnp.asarray(pos)
+            )
+            np.testing.assert_allclose(
+                np.asarray(logits_i), np.asarray(full_logits[:, pos]),
+                atol=2e-4, err_msg=f"pos={pos}",
+            )
+
+    def test_cache_shapes(self):
+        model = DALLE(CFG)
+        cache = model.init_cache(batch=3)
+        assert cache["k"].shape == (2, 3, 2, 24, 32)
+
+
+class TestDalleTrains:
+    def test_loss_decreases_overfit(self):
+        model = DALLE(CFG)
+        params = model.init(jax.random.PRNGKey(0))
+        tokens = _tokens(jax.random.PRNGKey(1), b=4)
+        opt = optax.adam(1e-3)
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def step(params, opt_state):
+            loss, grads = jax.value_and_grad(
+                lambda p: model.loss(p, tokens, train=True)[0]
+            )(params)
+            updates, opt_state = opt.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        first = None
+        for _ in range(40):
+            params, opt_state, loss = step(params, opt_state)
+            if first is None:
+                first = float(loss)
+        assert float(loss) < first * 0.5, (first, float(loss))
