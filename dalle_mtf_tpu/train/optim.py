@@ -1,0 +1,131 @@
+"""Optimizer factory — reference semantics (src/optimizers.py:19-104).
+
+Defaults: cosine decay to 10% of base LR (alpha=0.1), 3000 linear warmup
+steps applied multiplicatively on top of the decayed LR, global-norm clip 1.0,
+Adam(W) with weight decay excluded from anything norm- or bias-like
+(exclude_from_weight_decay=["norm", "bias"], optimizers.py:89), optional
+Adafactor. Optimizer math is fp32 on fp32 master params (the reference casts
+grads to the slice dtype fp32, optimizers.py:44).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Mapping
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def lr_schedule(params: Mapping[str, Any]) -> Callable[[jax.Array], jax.Array]:
+    """Build the step -> learning-rate function.
+
+    Exact reference behavior (optimizers.py:46-76): decay first (linear
+    polynomial to 10% of base, or cosine with alpha=0.1, over
+    ``lr_decay_end``/``train_steps`` steps), then during warmup multiply the
+    *decayed* LR by step/warmup_steps.
+    """
+    base_lr = params["lr"]
+    end_step = params.get("lr_decay_end") or params.get("train_steps") or 10_000
+    decay = params.get("lr_decay") if params.get("lr_decay") is not None else "cosine"
+    warmup_steps = params.get("warmup_steps")
+    if warmup_steps is None:
+        warmup_steps = 3000
+
+    def schedule(step: jax.Array) -> jax.Array:
+        step_f = jnp.asarray(step, jnp.float32)
+        frac = jnp.minimum(step_f / end_step, 1.0)
+        if decay == "linear":
+            lr = base_lr - (base_lr - base_lr * 0.1) * frac
+        elif decay == "cosine":
+            alpha = 0.1
+            cosine = 0.5 * (1.0 + jnp.cos(jnp.pi * frac))
+            lr = base_lr * ((1.0 - alpha) * cosine + alpha)
+        elif decay in (None, "none", "constant"):
+            lr = jnp.asarray(base_lr, jnp.float32)
+        else:
+            raise ValueError(f"unknown lr_decay {decay!r}")
+        if warmup_steps and warmup_steps > 0:
+            pct = step_f / float(warmup_steps)
+            lr = jnp.where(step_f < warmup_steps, lr * pct, lr)
+        return lr
+
+    return schedule
+
+
+def _no_weight_decay(path: tuple, _leaf) -> bool:
+    """True if this param is excluded from weight decay.
+
+    mtf excluded variables whose name matched r"norm|bias"
+    (optimizers.py:89). Our trees name norm scales ln*_g/ln*_b and biases
+    b/o_b/b_*; the codebook and embeddings get decay like mtf's would.
+    """
+    for k in path:
+        name = getattr(k, "key", getattr(k, "name", str(k)))
+        if name is None:
+            continue
+        name = str(name)
+        if (
+            "ln" in name
+            or "norm" in name
+            or "bias" in name
+            or name == "b"
+            or name == "o_b"
+            or name.startswith("b_")
+        ):
+            return True
+    return False
+
+
+def decay_mask(params) -> Any:
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: not _no_weight_decay(path, leaf), params
+    )
+
+
+def get_optimizer(
+    params: Mapping[str, Any]
+) -> tuple[optax.GradientTransformation, Callable[[jax.Array], jax.Array]]:
+    """Returns (optax transformation, lr schedule fn).
+
+    Config keys honored (same schema as the reference): ``optimizer``
+    ("adam"|"adafactor"), ``lr``, ``lr_decay``, ``lr_decay_end``,
+    ``warmup_steps``, ``gradient_clipping``, ``weight_decay``, ``beta_1``,
+    ``beta_2``, ``epsilon``.
+    """
+    schedule = lr_schedule(params)
+    name = (params.get("optimizer") or "adam").lower()
+    clip = params.get("gradient_clipping")
+    if clip is None:
+        clip = 1.0
+
+    chain = []
+    if clip:
+        chain.append(optax.clip_by_global_norm(clip))
+    if name == "adam":
+        chain.append(
+            optax.adamw(
+                learning_rate=schedule,
+                b1=params.get("beta_1") or 0.9,
+                b2=params.get("beta_2") or 0.999,
+                eps=params.get("epsilon") or 1e-6,
+                weight_decay=params.get("weight_decay") or 0.0,
+                mask=decay_mask,
+            )
+        )
+    elif name == "adafactor":
+        # The reference wires mtf Adafactor with decay_rate=weight_decay
+        # (default 0.0), which disables the second-moment decay entirely — a
+        # latent bug we do not copy; optax's default decay schedule is used
+        # unless an explicit adafactor_decay_rate is given.
+        chain.append(
+            optax.adafactor(
+                learning_rate=schedule,
+                decay_rate=params.get("adafactor_decay_rate") or 0.8,
+                clipping_threshold=params.get("adafactor_clipping") or 1.0,
+                eps=params.get("epsilon_1") or 1e-30,
+            )
+        )
+    else:
+        raise ValueError(f"{name} not recognized")
+    return optax.chain(*chain), schedule

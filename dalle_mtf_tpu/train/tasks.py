@@ -1,0 +1,86 @@
+"""Task definitions binding models to the generic Trainer.
+
+The reference's model_fns (src/model_fns_tf.py for the VAE,
+src/model_fns.py for DALLE) collapse to these small closures: a loss
+function over (params, frozen_params, batch, rng, step).
+
+Batch format (produced by dalle_mtf_tpu.data.pipeline):
+  {"image": f32[B, H, W, C] in [-1, 1], "caption": i32[B, text_seq_len]}
+(the VAE ignores "caption"; for VAE runs label==input, input_fns.py:64,100).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import jax
+import jax.numpy as jnp
+
+from dalle_mtf_tpu.models.dalle import DALLE, DalleConfig
+from dalle_mtf_tpu.models.vae import DiscreteVAE, VAEConfig, temperature_schedule
+
+
+def make_vae_task(params: Mapping[str, Any]):
+    """Returns (vae, init_fn, train_loss_fn, eval_loss_fn, logical_axes).
+
+    Training semantics follow model_fns_tf.py:9-66: Gumbel temperature
+    annealed by global step, train/eval gumbel hardness from config.
+    """
+    cfg = VAEConfig.from_params(params)
+    vae = DiscreteVAE(cfg)
+    train_hard = params.get("train_gumbel_hard")
+    train_hard = True if train_hard is None else bool(train_hard)
+    eval_hard = params.get("eval_gumbel_hard")
+    eval_hard = True if eval_hard is None else bool(eval_hard)
+
+    def train_loss(p, _frozen, batch, rng, step):
+        temp = temperature_schedule(params, step)
+        loss, _recon = vae.forward(
+            p, batch["image"], rng, temperature=temp,
+            hard_gumbel=train_hard, train=True,
+        )
+        return loss, {}
+
+    def eval_loss(p, _frozen, batch, rng, step):
+        temp = temperature_schedule(params, step)
+        loss, _recon = vae.forward(
+            p, batch["image"], rng, temperature=temp,
+            hard_gumbel=eval_hard, train=False,
+        )
+        return loss, {}
+
+    return vae, vae.init, train_loss, eval_loss, vae.logical_axes()
+
+
+def make_dalle_task(params: Mapping[str, Any], constrain=None):
+    """Returns (dalle, vae, init_fn, train_loss_fn, eval_loss_fn, logical_axes).
+
+    The frozen stage-1 VAE tokenizes images on-device inside the loss
+    (reference runs the VAE encoder + argmax in the same graph,
+    model_fns.py:72-77); image tokens are offset by text_vocab_size before
+    concatenation with the caption tokens (model_fns.py:119).
+    ``frozen_params`` passed to the Trainer must be the VAE param tree.
+    """
+    vae_cfg = VAEConfig.from_params(params["vae_params"])
+    cfg = DalleConfig.from_params(params, vae_cfg.image_seq_len)
+    dalle = DALLE(cfg)
+    vae = DiscreteVAE(vae_cfg)
+
+    def tokens_of(frozen_vae, batch):
+        img_tokens = vae.encode_tokens(frozen_vae, batch["image"])
+        img_tokens = jax.lax.stop_gradient(img_tokens) + cfg.text_vocab_size
+        return jnp.concatenate(
+            [batch["caption"].astype(jnp.int32), img_tokens], axis=1
+        )
+
+    def train_loss(p, frozen_vae, batch, rng, step):
+        tokens = tokens_of(frozen_vae, batch)
+        loss, _ = dalle.loss(p, tokens, rng, train=True, constrain=constrain)
+        return loss, {}
+
+    def eval_loss(p, frozen_vae, batch, rng, step):
+        tokens = tokens_of(frozen_vae, batch)
+        loss, _ = dalle.loss(p, tokens, rng, train=False, constrain=constrain)
+        return loss, {}
+
+    return dalle, vae, dalle.init, train_loss, eval_loss, dalle.logical_axes()

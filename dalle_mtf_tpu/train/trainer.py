@@ -1,0 +1,364 @@
+"""Generic sharded training loop.
+
+Replaces the reference's TPUEstimator + mtf.Lowering stack (train_dalle.py:
+57-98, model_fns.py:79-229) with a plain host loop dispatching a jit-compiled
+SPMD train step:
+
+- mesh + layout from the config's ``mesh_shape``/``layout`` strings;
+- microbatch gradient accumulation via ``lax.scan``
+  (mtf.serialize_training_step, model_fns.py:156-166);
+- donated state buffers, async dispatch (the XLA device loop the reference
+  got from ``iterations_per_loop`` falls out of JAX's async dispatch — the
+  host runs ahead and only blocks on fetched metrics);
+- orbax sharded checkpointing with crash-resume (the manual tf.train.Saver +
+  MtfCheckpointSaverListener machinery, model_fns.py:204-229), max_to_keep=5
+  like the reference;
+- TensorBoard scalars/images via the metrics writer (host_call equivalent,
+  utils/utils.py:103-161).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Any, Callable, Iterator, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from dalle_mtf_tpu.parallel.mesh import (
+    build_mesh,
+    logical_to_pspec,
+    named_sharding,
+    parse_layout,
+)
+from dalle_mtf_tpu.train.optim import get_optimizer
+from dalle_mtf_tpu.utils.summaries import MetricsWriter
+
+logger = logging.getLogger(__name__)
+
+TrainState = dict  # {"step": i32[], "params": pytree, "opt_state": pytree}
+
+# loss_fn(params, frozen_params, batch, rng, step) -> (loss, aux_scalars)
+LossFn = Callable[[Any, Any, Any, jax.Array, jax.Array], tuple[jax.Array, Mapping]]
+
+
+def num_microbatches(
+    params: Mapping[str, Any], global_batch: int, seq_len: int, data_parallelism: int
+) -> int:
+    """Microbatch count from ``tokens_per_mb_per_replica``.
+
+    Mirrors mtf_transformer.utils.serialize_num_microbatches as used at
+    model_fns.py:141-154: tokens per microbatch per data-parallel replica
+    caps the per-step working set; None/0 disables accumulation.
+    """
+    tokens_per_mb = params.get("tokens_per_mb_per_replica")
+    if not tokens_per_mb:
+        return 1
+    batch_per_replica = max(1, global_batch // max(1, data_parallelism))
+    tokens_per_replica = batch_per_replica * seq_len
+    n = max(1, int(np.ceil(tokens_per_replica / tokens_per_mb)))
+    # must divide the global batch
+    while global_batch % n != 0:
+        n += 1
+    return n
+
+
+def global_norm(tree) -> jax.Array:
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in leaves))
+
+
+class Trainer:
+    def __init__(
+        self,
+        params: Mapping[str, Any],
+        init_fn: Callable[[jax.Array], Any],
+        loss_fn: LossFn,
+        logical_axes: Any,
+        model_dir: str,
+        seq_len: int,
+        frozen_params: Any = None,
+        mesh: Mesh | None = None,
+        eval_loss_fn: LossFn | None = None,
+    ):
+        self.params = params
+        self.init_fn = init_fn
+        self.loss_fn = loss_fn
+        self.eval_loss_fn = eval_loss_fn or loss_fn
+        # gs:// dirs pass through untouched (reference writes to GCS too)
+        self.model_dir = (
+            model_dir
+            if "://" in model_dir
+            else os.path.abspath(os.path.expanduser(model_dir))
+        )
+        self.mesh = mesh if mesh is not None else build_mesh(params.get("mesh_shape"))
+        self.rules = parse_layout(params.get("layout"))
+        self.logical_axes = logical_axes
+        self.batch_size = params["train_batch_size"]
+        dp = self.mesh.shape.get("data", 1)
+        self.num_mb = num_microbatches(params, self.batch_size, seq_len, dp)
+        self.opt, self.schedule = get_optimizer(params)
+        self.frozen_params = frozen_params
+        self.writer = MetricsWriter(self.model_dir)
+        self._train_step = None
+        self._eval_step = None
+        self._ckpt_mngr = None
+
+        self.batch_sharding = NamedSharding(
+            self.mesh, PartitionSpec(self.rules.get("batch_dim", "data"))
+        )
+        logger.info(
+            "trainer: mesh=%s layout=%s microbatches=%d",
+            dict(self.mesh.shape), self.rules, self.num_mb,
+        )
+
+    # ------------------------------------------------------------- sharding
+
+    def _constrain(self, x, *axes):
+        return jax.lax.with_sharding_constraint(
+            x, named_sharding(self.mesh, self.rules, axes)
+        )
+
+    def _param_shardings(self):
+        return jax.tree_util.tree_map(
+            lambda axes: named_sharding(self.mesh, self.rules, axes),
+            self.logical_axes,
+            is_leaf=lambda x: isinstance(x, tuple),
+        )
+
+    # ----------------------------------------------------------------- state
+
+    def init_state(self, rng: jax.Array) -> TrainState:
+        shardings = self._param_shardings()
+
+        def make(rng_):
+            params = self.init_fn(rng_)
+            params = jax.tree_util.tree_map(
+                jax.lax.with_sharding_constraint, params, shardings
+            )
+            opt_state = self.opt.init(params)
+            return {
+                "step": jnp.zeros((), jnp.int32),
+                "params": params,
+                "opt_state": opt_state,
+            }
+
+        with self.mesh:
+            return jax.jit(make)(rng)
+
+    def param_count(self, state: TrainState) -> int:
+        return sum(x.size for x in jax.tree_util.tree_leaves(state["params"]))
+
+    # ------------------------------------------------------------ train step
+
+    def _build_train_step(self):
+        opt = self.opt
+        num_mb = self.num_mb
+        loss_fn = self.loss_fn
+        schedule = self.schedule
+
+        def step_fn(state, frozen, batch, rng):
+            step = state["step"]
+            params = state["params"]
+
+            def compute(p, mb, r):
+                return loss_fn(p, frozen, mb, r, step)
+
+            if num_mb > 1:
+                # grad accumulation — mtf.serialize_training_step equivalent
+                mbs = jax.tree_util.tree_map(
+                    lambda x: x.reshape(num_mb, x.shape[0] // num_mb, *x.shape[1:]),
+                    batch,
+                )
+                rngs = jax.random.split(rng, num_mb)
+                zero_grads = jax.tree_util.tree_map(
+                    lambda x: jnp.zeros(x.shape, jnp.float32), params
+                )
+
+                def body(carry, xs):
+                    g_acc, loss_acc = carry
+                    mb, r = xs
+                    (loss, _aux), g = jax.value_and_grad(compute, has_aux=True)(
+                        params, mb, r
+                    )
+                    g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                    return (g_acc, loss_acc + loss), None
+
+                (grads, loss_sum), _ = jax.lax.scan(
+                    body, (zero_grads, jnp.zeros((), jnp.float32)), (mbs, rngs)
+                )
+                grads = jax.tree_util.tree_map(lambda g: g / num_mb, grads)
+                loss = loss_sum / num_mb
+                aux = {}
+            else:
+                (loss, aux), grads = jax.value_and_grad(compute, has_aux=True)(
+                    params, batch, rng
+                )
+                aux = dict(aux)
+
+            updates, new_opt_state = opt.update(grads, state["opt_state"], params)
+            new_params = optax.apply_updates(params, updates)
+            metrics = {
+                "loss": loss.astype(jnp.float32),
+                "grad_norm": global_norm(grads),
+                "lr": schedule(step),
+                **aux,
+            }
+            new_state = {
+                "step": step + 1,
+                "params": new_params,
+                "opt_state": new_opt_state,
+            }
+            return new_state, metrics
+
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    def _build_eval_step(self):
+        eval_loss_fn = self.eval_loss_fn
+
+        def eval_fn(state, frozen, batch, rng):
+            loss, aux = eval_loss_fn(
+                state["params"], frozen, batch, rng, state["step"]
+            )
+            return {"loss": loss.astype(jnp.float32), **aux}
+
+        return jax.jit(eval_fn)
+
+    def train_step(self, state, batch, rng):
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+        batch = jax.device_put(batch, self.batch_sharding)
+        with self.mesh:
+            return self._train_step(state, self.frozen_params, batch, rng)
+
+    def eval_step(self, state, batch, rng):
+        if self._eval_step is None:
+            self._eval_step = self._build_eval_step()
+        batch = jax.device_put(batch, self.batch_sharding)
+        with self.mesh:
+            return self._eval_step(state, self.frozen_params, batch, rng)
+
+    # ------------------------------------------------------------ checkpoint
+
+    @property
+    def ckpt_mngr(self):
+        import orbax.checkpoint as ocp
+
+        if self._ckpt_mngr is None:
+            self._ckpt_mngr = ocp.CheckpointManager(
+                os.path.join(self.model_dir, "checkpoints"),
+                options=ocp.CheckpointManagerOptions(
+                    max_to_keep=self.params.get("max_to_keep") or 5,
+                    create=True,
+                ),
+            )
+        return self._ckpt_mngr
+
+    def save(self, state: TrainState):
+        import orbax.checkpoint as ocp
+
+        step = int(jax.device_get(state["step"]))
+        self.ckpt_mngr.save(step, args=ocp.args.StandardSave(state))
+
+    def restore(self, state: TrainState) -> TrainState:
+        """Restore latest checkpoint into the (sharded) template ``state``."""
+        import orbax.checkpoint as ocp
+
+        latest = self.ckpt_mngr.latest_step()
+        if latest is None:
+            return state
+        abstract = jax.tree_util.tree_map(
+            ocp.utils.to_shape_dtype_struct, state
+        )
+        restored = self.ckpt_mngr.restore(
+            latest, args=ocp.args.StandardRestore(abstract)
+        )
+        logger.info("restored checkpoint at step %d", latest)
+        return restored
+
+    def latest_step(self) -> int:
+        latest = self.ckpt_mngr.latest_step()
+        return 0 if latest is None else latest
+
+    def wait_for_checkpoints(self):
+        self.ckpt_mngr.wait_until_finished()
+
+    # ------------------------------------------------------------- main loop
+
+    def run(
+        self,
+        data_iter: Iterator[Any],
+        rng: jax.Array,
+        eval_data_iter: Iterator[Any] | None = None,
+        summary_fn: Callable | None = None,
+    ) -> TrainState:
+        """Train until ``train_steps``, checkpointing and resuming.
+
+        The reference's outer resume loop (train_dalle.py:80-98) collapses to:
+        restore-latest, then run; a crash restarts from the last checkpoint.
+        """
+        p = self.params
+        train_steps = p["train_steps"]
+        steps_per_ckpt = p.get("steps_per_checkpoint") or 1000
+        log_every = p.get("log_every") or min(100, steps_per_ckpt)
+        eval_steps = p.get("eval_steps") or 0
+
+        state = self.init_state(rng)
+        state = self.restore(state)
+        start = int(jax.device_get(state["step"]))
+        logger.info(
+            "training %s from step %d to %d (%.2fM params)",
+            p.get("config_name"), start, train_steps,
+            self.param_count(state) / 1e6,
+        )
+
+        step_rng = jax.random.fold_in(rng, 1)
+        t0 = time.time()
+        window_start_step = start
+        for step in range(start, train_steps):
+            batch = next(data_iter)
+            # async dispatch: fetching metrics only happens on log steps, so
+            # the device runs ahead of the host (the reference needed
+            # iterations_per_loop infeed loops for this, train_dalle.py:62-66)
+            state, metrics = self.train_step(
+                state, batch, jax.random.fold_in(step_rng, step)
+            )
+            if (step + 1) % log_every == 0 or step == start:
+                m = {k: float(jax.device_get(v)) for k, v in metrics.items()}
+                now = time.time()
+                steps_done = step + 1 - window_start_step
+                sps = steps_done / max(now - t0, 1e-9)
+                t0, window_start_step = now, step + 1
+                self.writer.scalars(step + 1, {**m, "steps_per_sec": sps})
+                logger.info(
+                    "step %d loss %.5f lr %.2e grad_norm %.3f %.2f steps/s",
+                    step + 1, m.get("loss", float("nan")),
+                    m.get("lr", 0.0), m.get("grad_norm", 0.0), sps,
+                )
+
+            if (step + 1) % steps_per_ckpt == 0 or (step + 1) == train_steps:
+                self.save(state)
+                if eval_steps and eval_data_iter is not None:
+                    losses = []
+                    for i in range(eval_steps):
+                        em = self.eval_step(
+                            state, next(eval_data_iter),
+                            jax.random.fold_in(step_rng, -i - 1),
+                        )
+                        losses.append(float(jax.device_get(em["loss"])))
+                    self.writer.scalars(step + 1, {"eval_loss": float(np.mean(losses))})
+                    logger.info("step %d eval_loss %.5f", step + 1, np.mean(losses))
+                if summary_fn is not None:
+                    summary_fn(self, state, step + 1)
+        self.wait_for_checkpoints()
+        return state
+
+    def close(self):
+        self.writer.close()
+        if self._ckpt_mngr is not None:
+            self._ckpt_mngr.close()

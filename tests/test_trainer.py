@@ -1,0 +1,246 @@
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dalle_mtf_tpu.train.optim import decay_mask, get_optimizer, lr_schedule
+from dalle_mtf_tpu.train.tasks import make_dalle_task, make_vae_task
+from dalle_mtf_tpu.train.trainer import Trainer, num_microbatches
+from dalle_mtf_tpu.utils.config import Config
+
+
+class TestLRSchedule:
+    def test_cosine_with_warmup_reference_semantics(self):
+        p = Config.from_mapping(
+            {"lr": 1e-3, "train_steps": 1000, "warmup_steps": 100, "lr_decay": "cosine"}
+        )
+        sched = lr_schedule(p)
+        # during warmup: decayed lr * step/warmup (optimizers.py:62-76)
+        assert float(sched(jnp.asarray(0))) == pytest.approx(0.0)
+        lr50 = float(sched(jnp.asarray(50)))
+        frac = 50 / 1000
+        cosine = 0.5 * (1 + np.cos(np.pi * frac))
+        expected = 1e-3 * (0.9 * cosine + 0.1) * 0.5
+        assert lr50 == pytest.approx(expected, rel=1e-5)
+        # end of schedule: alpha=0.1 floor
+        assert float(sched(jnp.asarray(1000))) == pytest.approx(1e-4, rel=1e-5)
+
+    def test_linear_decay_to_ten_percent(self):
+        p = Config.from_mapping(
+            {"lr": 1e-3, "train_steps": 1000, "warmup_steps": 0, "lr_decay": "linear"}
+        )
+        sched = lr_schedule(p)
+        assert float(sched(jnp.asarray(0))) == pytest.approx(1e-3)
+        assert float(sched(jnp.asarray(500))) == pytest.approx(1e-3 * 0.55)
+        assert float(sched(jnp.asarray(1000))) == pytest.approx(1e-4)
+        assert float(sched(jnp.asarray(5000))) == pytest.approx(1e-4)
+
+
+def test_decay_mask_excludes_norm_and_bias():
+    params = {
+        "wte": jnp.zeros((4, 4)),
+        "layers": {
+            "ln1_g": jnp.zeros((2, 4)),
+            "wq": jnp.zeros((2, 4, 2, 2)),
+            "o_b": jnp.zeros((2, 4)),
+            "b_mlp1": jnp.zeros((2, 8)),
+        },
+        "codebook": jnp.zeros((4, 8)),
+        "encoder": {"block_0": {"down": {"w": jnp.zeros((4, 4, 3, 8)), "b": jnp.zeros((8,))}}},
+    }
+    mask = decay_mask(params)
+    assert mask["wte"] and mask["codebook"]
+    assert mask["layers"]["wq"]
+    assert not mask["layers"]["ln1_g"]
+    assert not mask["layers"]["o_b"]
+    assert not mask["layers"]["b_mlp1"]
+    assert mask["encoder"]["block_0"]["down"]["w"]
+    assert not mask["encoder"]["block_0"]["down"]["b"]
+
+
+def test_num_microbatches():
+    p = Config.from_mapping({"tokens_per_mb_per_replica": 1024})
+    # 32 batch / 8 replicas = 4/replica * 512 tokens = 2048 tokens -> 2 mbs
+    assert num_microbatches(p, 32, 512, 8) == 2
+    assert num_microbatches(Config(), 32, 512, 8) == 1
+    # must divide global batch
+    p2 = Config.from_mapping({"tokens_per_mb_per_replica": 700})
+    n = num_microbatches(p2, 32, 512, 8)
+    assert 32 % n == 0 and n >= 3
+
+
+VAE_PARAMS = Config.from_mapping(
+    {
+        "config_name": "vae_tiny_test",
+        "model_type": "vae",
+        "dataset": {"image_size": 16},
+        "num_tokens": 32,
+        "convblocks": [[1, 8], [1, 16]],
+        "n_channels": 3,
+        "train_batch_size": 8,
+        "eval_batch_size": 8,
+        "train_steps": 6,
+        "steps_per_checkpoint": 3,
+        "lr": 1e-3,
+        "warmup_steps": 0,
+        "mesh_shape": "data:8",
+        "layout": "batch_dim:data",
+        "temp": 1.0,
+    }
+)
+
+
+def _vae_batches(key=0):
+    rng = np.random.RandomState(key)
+    while True:
+        yield {
+            "image": jnp.asarray(
+                rng.uniform(-1, 1, (8, 16, 16, 3)).astype(np.float32)
+            )
+        }
+
+
+class TestTrainerVAE:
+    def test_train_checkpoint_resume(self, tmp_path):
+        _vae, init_fn, loss_fn, eval_loss_fn, axes = make_vae_task(VAE_PARAMS)
+        trainer = Trainer(
+            VAE_PARAMS, init_fn, loss_fn, axes,
+            model_dir=str(tmp_path / "m"), seq_len=16,
+            eval_loss_fn=eval_loss_fn,
+        )
+        state = trainer.run(_vae_batches(), jax.random.PRNGKey(0))
+        assert int(jax.device_get(state["step"])) == 6
+        trainer.wait_for_checkpoints()
+        assert trainer.latest_step() == 6
+        trainer.close()
+
+        # resume: a fresh trainer restores step 6 and continues to 8
+        params2 = Config.from_mapping({**VAE_PARAMS.to_dict(), "train_steps": 8})
+        trainer2 = Trainer(
+            params2, init_fn, loss_fn, axes,
+            model_dir=str(tmp_path / "m"), seq_len=16,
+        )
+        state2 = trainer2.run(_vae_batches(), jax.random.PRNGKey(0))
+        assert int(jax.device_get(state2["step"])) == 8
+        trainer2.close()
+
+    def test_batch_is_sharded_over_data_axis(self, tmp_path):
+        _vae, init_fn, loss_fn, _e, axes = make_vae_task(VAE_PARAMS)
+        trainer = Trainer(
+            VAE_PARAMS, init_fn, loss_fn, axes,
+            model_dir=str(tmp_path / "m"), seq_len=16,
+        )
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        batch = next(_vae_batches())
+        state, metrics = trainer.train_step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(jax.device_get(metrics["loss"])))
+        trainer.close()
+
+
+DALLE_PARAMS = Config.from_mapping(
+    {
+        "config_name": "dalle_tiny_test",
+        "model_type": "dalle",
+        "dataset": {"image_size": 16},
+        "n_embd": 32,
+        "text_vocab_size": 40,
+        "image_vocab_size": 32,
+        "text_seq_len": 8,
+        "n_layers": 2,
+        "n_heads": 2,
+        "train_batch_size": 8,
+        "train_steps": 2,
+        "steps_per_checkpoint": 100,
+        "lr": 1e-3,
+        "warmup_steps": 0,
+        "mesh_shape": "data:4,model:2",
+        "layout": "batch_dim:data,heads_dim:model,intermediate_expanded:model,vocab_dim:model",
+        "vae_params": {
+            "dataset": {"image_size": 16},
+            "num_tokens": 32,
+            "convblocks": [[1, 8], [1, 16]],
+        },
+    }
+)
+
+
+def _dalle_batches():
+    rng = np.random.RandomState(0)
+    while True:
+        yield {
+            "image": jnp.asarray(rng.uniform(-1, 1, (8, 16, 16, 3)).astype(np.float32)),
+            "caption": jnp.asarray(rng.randint(0, 40, (8, 8)).astype(np.int32)),
+        }
+
+
+class TestTrainerDalle:
+    def test_model_parallel_train_step(self, tmp_path):
+        """DALLE trains on a 2-D (data x model) mesh with TP layout rules."""
+        from dalle_mtf_tpu.models.vae import DiscreteVAE, VAEConfig
+
+        vae_cfg = VAEConfig.from_params(DALLE_PARAMS["vae_params"])
+        vae_params = DiscreteVAE(vae_cfg).init(jax.random.PRNGKey(7))
+        dalle, _vae, init_fn, loss_fn, eval_fn, axes = make_dalle_task(DALLE_PARAMS)
+        trainer = Trainer(
+            DALLE_PARAMS, init_fn, loss_fn, axes,
+            model_dir=str(tmp_path / "d"), seq_len=dalle.cfg.total_seq_len,
+            frozen_params=vae_params, eval_loss_fn=eval_fn,
+        )
+        # wq is sharded over the model axis on its heads dim
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        wq_sharding = state["params"]["layers"]["wq"].sharding
+        assert "model" in str(wq_sharding.spec)
+
+        batches = _dalle_batches()
+        state, m1 = trainer.train_step(state, next(batches), jax.random.PRNGKey(1))
+        state, m2 = trainer.train_step(state, next(batches), jax.random.PRNGKey(2))
+        assert np.isfinite(float(jax.device_get(m2["loss"])))
+        assert int(jax.device_get(state["step"])) == 2
+        trainer.close()
+
+    def test_grad_accumulation_matches_single_batch(self, tmp_path):
+        """num_microbatches=2 produces the same update as one full batch
+        (loss has no rng dependence when dropout is off)."""
+        from dalle_mtf_tpu.models.vae import DiscreteVAE, VAEConfig
+
+        vae_cfg = VAEConfig.from_params(DALLE_PARAMS["vae_params"])
+        vae_params = DiscreteVAE(vae_cfg).init(jax.random.PRNGKey(7))
+        dalle, _v, init_fn, loss_fn, _e, axes = make_dalle_task(DALLE_PARAMS)
+
+        base = DALLE_PARAMS.to_dict()
+        p_mb = Config.from_mapping(
+            {**base, "tokens_per_mb_per_replica": dalle.cfg.total_seq_len}
+        )
+        t1 = Trainer(
+            DALLE_PARAMS, init_fn, loss_fn, axes,
+            model_dir=str(tmp_path / "a"), seq_len=dalle.cfg.total_seq_len,
+            frozen_params=vae_params,
+        )
+        t2 = Trainer(
+            p_mb, init_fn, loss_fn, axes,
+            model_dir=str(tmp_path / "b"), seq_len=dalle.cfg.total_seq_len,
+            frozen_params=vae_params,
+        )
+        assert t1.num_mb == 1 and t2.num_mb > 1
+
+        batch = next(_dalle_batches())
+        s1 = t1.init_state(jax.random.PRNGKey(0))
+        s2 = t2.init_state(jax.random.PRNGKey(0))
+        s1, m1 = t1.train_step(s1, batch, jax.random.PRNGKey(1))
+        s2, m2 = t2.train_step(s2, batch, jax.random.PRNGKey(1))
+        np.testing.assert_allclose(
+            float(jax.device_get(m1["loss"])), float(jax.device_get(m2["loss"])),
+            rtol=1e-4,
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(s1["params"]),
+            jax.tree_util.tree_leaves(s2["params"]),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(jax.device_get(a)), np.asarray(jax.device_get(b)),
+                atol=1e-5,
+            )
+        t1.close()
+        t2.close()
