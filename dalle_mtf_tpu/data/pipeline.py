@@ -1,0 +1,264 @@
+"""Host input pipeline.
+
+Parity with src/input_fns.py: ``vae_input_fn`` reads either TFRecords or a
+raw jpg glob, ``dalle_input_fn`` reads image+caption TFRecords; images are
+jpeg-decoded, center-cropped to a square, resized, and normalized to [-1, 1]
+(input_fns.py:4-21); captions are padded-then-truncated to text_seq_len with
+the padding id (:32-38); training shuffles a 5x-batch-size sample buffer and
+batches with drop_remainder (:24-29); datasets repeat forever (:104).
+
+Improvements over the reference (intentional, SURVEY.md §7):
+- **per-host file sharding** instead of TPUEstimator BROADCAST mode (one
+  host's pipeline copied to every worker, train_dalle.py:69) — each process
+  reads files[process_index::process_count];
+- decode/augment runs in a thread pool with a background prefetch queue, so
+  the accelerator never waits on the host (tf.data's AUTOTUNE equivalent);
+- the reference's off-center crop bug (crop_and_resize box [y1,x1,wn,hn]
+  instead of [.., (1+wn)/2, ..], input_fns.py:10-11) is fixed: we crop the
+  true centered square.
+
+Batches are dicts: {"image": f32[B,H,W,C] in [-1,1], "caption": i32[B,T]}.
+"""
+
+from __future__ import annotations
+
+import glob as globlib
+import io
+import logging
+import queue
+import random
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable, Iterator, Mapping
+
+import numpy as np
+
+from dalle_mtf_tpu.data.tfrecord import parse_example, read_tfrecord_file
+
+logger = logging.getLogger(__name__)
+
+
+def list_files(pattern: str) -> list[str]:
+    """Glob local paths; gs:// paths go through tf.io.gfile when available."""
+    if pattern.startswith("gs://"):
+        try:
+            import tensorflow as tf  # noqa: PLC0415
+
+            return sorted(tf.io.gfile.glob(pattern))
+        except ImportError as e:  # pragma: no cover
+            raise IOError(
+                "gs:// paths need tf.io.gfile (tensorflow) for listing"
+            ) from e
+    return sorted(globlib.glob(pattern, recursive=True))
+
+
+def decode_img(data: bytes, size: int, channels: int = 3) -> np.ndarray:
+    """jpeg bytes -> f32 [size, size, channels] in [-1, 1].
+
+    Center-square crop + bilinear resize + (x-127.5)/127.5, the *intended*
+    behavior of input_fns.py:4-21.
+    """
+    from PIL import Image  # noqa: PLC0415
+
+    img = Image.open(io.BytesIO(data))
+    img = img.convert("RGB" if channels == 3 else "L")
+    w, h = img.size
+    side = min(w, h)
+    left, top = (w - side) // 2, (h - side) // 2
+    img = img.crop((left, top, left + side, top + side))
+    img = img.resize((size, size), Image.BILINEAR)
+    arr = np.asarray(img, np.float32)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    return (arr - 127.5) / 127.5
+
+
+class _Pipeline:
+    """files -> records -> parallel parse -> shuffle buffer -> batches."""
+
+    def __init__(
+        self,
+        files: list[str],
+        record_iter_fn: Callable[[str], Iterator[Any]],
+        parse_fn: Callable[[Any], dict],
+        batch_size: int,
+        shuffle: bool,
+        seed: int = 0,
+        num_workers: int = 8,
+        prefetch: int = 4,
+        repeat: bool = True,
+    ):
+        if not files:
+            raise FileNotFoundError("input pipeline got an empty file list")
+        self.files = list(files)
+        self.record_iter_fn = record_iter_fn
+        self.parse_fn = parse_fn
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.repeat = repeat
+
+    def _records(self) -> Iterator[Any]:
+        rng = random.Random(self.seed)
+        files = list(self.files)
+        if self.shuffle:
+            rng.shuffle(files)  # reshuffle_each_iteration=False (input_fns.py:82)
+        while True:
+            for f in files:
+                yield from self.record_iter_fn(f)
+            if not self.repeat:
+                return
+
+    def _samples(self) -> Iterator[dict]:
+        """Parallel parse with bounded in-flight window (keeps order cheap)."""
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            in_flight: queue.Queue = queue.Queue()
+            records = self._records()
+            try:
+                for _ in range(self.num_workers * 2):
+                    in_flight.put(pool.submit(self.parse_fn, next(records)))
+            except StopIteration:
+                pass
+            while not in_flight.empty():
+                fut = in_flight.get()
+                try:
+                    in_flight.put(pool.submit(self.parse_fn, next(records)))
+                except StopIteration:
+                    pass
+                sample = fut.result()
+                if sample is not None:
+                    yield sample
+
+    def _shuffled(self) -> Iterator[dict]:
+        if not self.shuffle:
+            yield from self._samples()
+            return
+        buf_size = self.batch_size * 5  # configure_for_performance (:26)
+        rng = random.Random(self.seed + 1)
+        buf: list = []
+        for sample in self._samples():
+            buf.append(sample)
+            if len(buf) >= buf_size:
+                i = rng.randrange(len(buf))
+                buf[i], buf[-1] = buf[-1], buf[i]
+                yield buf.pop()
+        rng.shuffle(buf)
+        yield from buf
+
+    def _batches(self) -> Iterator[dict]:
+        batch: list = []
+        for sample in self._shuffled():
+            batch.append(sample)
+            if len(batch) == self.batch_size:
+                keys = batch[0].keys()
+                yield {k: np.stack([s[k] for s in batch]) for k in keys}
+                batch = []
+        # drop_remainder=True (input_fns.py:27)
+
+    def __iter__(self) -> Iterator[dict]:
+        """Batches, prefetched on a background thread."""
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def produce():
+            try:
+                for b in self._batches():
+                    q.put(b)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                return
+            yield item
+
+
+def _shard_files(files: list[str], shard: tuple[int, int] | None) -> list[str]:
+    if shard is None:
+        try:
+            import jax  # noqa: PLC0415
+
+            shard = (jax.process_index(), jax.process_count())
+        except Exception:  # pragma: no cover
+            shard = (0, 1)
+    index, count = shard
+    if count > 1:
+        sharded = files[index::count]
+        return sharded if sharded else files  # fewer files than hosts
+    return files
+
+
+def vae_input_fn(
+    params: Mapping[str, Any],
+    eval: bool = False,
+    shard: tuple[int, int] | None = None,
+    repeat: bool = True,
+) -> _Pipeline:
+    """Image batches for VAE training (input_fns.py:69-104).
+
+    tfrecords mode when dataset.tfrecords is set, else a raw jpg glob.
+    """
+    ds = params["dataset"]
+    path = ds["eval_path"] if eval else ds["train_path"]
+    size = ds["image_size"]
+    channels = params.get("n_channels") or 3
+    batch = params["eval_batch_size" if eval else "train_batch_size"]
+    files = _shard_files(list_files(path), shard)
+
+    if ds.get("tfrecords"):
+        def parse(record: bytes) -> dict:
+            ex = parse_example(record)
+            return {"image": decode_img(ex["image"][0], size, channels)}
+
+        return _Pipeline(
+            files, read_tfrecord_file, parse, batch,
+            shuffle=not eval, repeat=repeat,
+        )
+
+    def read_file(path_: str):
+        yield path_
+
+    def parse_path(path_: str) -> dict:
+        with open(path_, "rb") as f:
+            return {"image": decode_img(f.read(), size, channels)}
+
+    return _Pipeline(
+        files, read_file, parse_path, batch, shuffle=not eval, repeat=repeat
+    )
+
+
+def dalle_input_fn(
+    params: Mapping[str, Any],
+    eval: bool = False,
+    shard: tuple[int, int] | None = None,
+    repeat: bool = True,
+) -> _Pipeline:
+    """(image, caption) batches for DALLE training (input_fns.py:106-120)."""
+    ds = params["dataset"]
+    path = ds["eval_path"] if eval else ds["train_path"]
+    size = ds["image_size"]
+    channels = params.get("n_channels") or 3
+    batch = params["eval_batch_size" if eval else "train_batch_size"]
+    text_seq_len = params["text_seq_len"]
+    padding_id = params.get("padding_id")
+    if padding_id is None:
+        padding_id = 50257
+    files = _shard_files(list_files(path), shard)
+
+    def parse(record: bytes) -> dict:
+        ex = parse_example(record)
+        caption = list(ex.get("caption", []))
+        caption = (caption + [padding_id] * text_seq_len)[:text_seq_len]
+        return {
+            "image": decode_img(ex["image"][0], size, channels),
+            "caption": np.asarray(caption, np.int32),
+        }
+
+    return _Pipeline(
+        files, read_tfrecord_file, parse, batch, shuffle=not eval, repeat=repeat
+    )

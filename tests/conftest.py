@@ -11,6 +11,7 @@ import os
 # (JAX_PLATFORMS=axon): tests must be hermetic and multi-device.
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["PALLAS_AXON_POOL_IPS"] = ""  # keep sitecustomize from grabbing the TPU
+os.environ.setdefault("HF_HUB_OFFLINE", "1")  # zero-egress: fail fast to fallback
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,247 @@
+import io
+import os
+
+import numpy as np
+import pytest
+
+from dalle_mtf_tpu.data.create_tfrecords import (
+    create_paired_dataset,
+    create_random_dataset,
+    dump_jsonl,
+    load_jsonl,
+)
+from dalle_mtf_tpu.data.pipeline import dalle_input_fn, decode_img, vae_input_fn
+from dalle_mtf_tpu.data.tfrecord import (
+    TFRecordWriter,
+    crc32c,
+    parse_example,
+    read_tfrecord_file,
+    serialize_example,
+)
+from dalle_mtf_tpu.data.tokenizer import ByteTokenizer, get_tokenizer, pad_or_truncate
+from dalle_mtf_tpu.utils.config import Config
+
+
+def _jpeg_bytes(w=64, h=48, color=(255, 0, 0)):
+    from PIL import Image
+
+    img = Image.new("RGB", (w, h), color)
+    buf = io.BytesIO()
+    img.save(buf, "JPEG")
+    return buf.getvalue()
+
+
+class TestCRC32C:
+    def test_known_vectors(self):
+        # RFC 3720 test vectors
+        assert crc32c(b"") == 0x0
+        assert crc32c(b"123456789") == 0xE3069283
+        assert crc32c(bytes(32)) == 0x8A9136AA
+
+
+class TestExampleCodec:
+    def test_roundtrip(self):
+        ex = serialize_example(
+            {"image": b"\x00\x01jpegdata", "caption": [1, 50257, 1234567890, 0]}
+        )
+        out = parse_example(ex)
+        assert out["image"][0] == b"\x00\x01jpegdata"
+        assert out["caption"] == [1, 50257, 1234567890, 0]
+
+    def test_interop_with_tensorflow(self):
+        """Our hand-rolled proto bytes must parse with TF, and vice versa."""
+        tf = pytest.importorskip("tensorflow")
+        ours = serialize_example({"image": b"imgbytes", "caption": [3, 1, 2]})
+        ex = tf.train.Example.FromString(ours)
+        assert ex.features.feature["image"].bytes_list.value[0] == b"imgbytes"
+        assert list(ex.features.feature["caption"].int64_list.value) == [3, 1, 2]
+
+        theirs = tf.train.Example(
+            features=tf.train.Features(
+                feature={
+                    "image": tf.train.Feature(
+                        bytes_list=tf.train.BytesList(value=[b"xyz"])
+                    ),
+                    "caption": tf.train.Feature(
+                        int64_list=tf.train.Int64List(value=[7, 8])
+                    ),
+                }
+            )
+        ).SerializeToString()
+        out = parse_example(theirs)
+        assert out["image"][0] == b"xyz"
+        assert out["caption"] == [7, 8]
+
+
+class TestTFRecordFraming:
+    def test_roundtrip_with_crc(self, tmp_path):
+        path = str(tmp_path / "a.tfrecords")
+        with TFRecordWriter(path) as w:
+            w.write(b"rec one")
+            w.write(b"rec two, longer" * 100)
+        recs = list(read_tfrecord_file(path, verify_crc=True))
+        assert recs[0] == b"rec one"
+        assert recs[1] == b"rec two, longer" * 100
+
+    def test_interop_with_tf_data(self, tmp_path):
+        tf = pytest.importorskip("tensorflow")
+        path = str(tmp_path / "b.tfrecords")
+        with TFRecordWriter(path) as w:
+            w.write(b"hello tfrecord")
+        got = [r.numpy() for r in tf.data.TFRecordDataset(path)]
+        assert got == [b"hello tfrecord"]
+        # and read TF-written files
+        path2 = str(tmp_path / "c.tfrecords")
+        with tf.io.TFRecordWriter(path2) as w:
+            w.write(b"written by tf")
+        assert list(read_tfrecord_file(path2, verify_crc=True)) == [b"written by tf"]
+
+
+class TestTokenizer:
+    def test_byte_fallback(self):
+        tok = ByteTokenizer()
+        assert len(tok) == 50258
+        assert tok.pad_token_id == 50257
+        ids = tok.encode("hi")
+        assert ids == [104, 105]
+        assert tok.decode(ids) == "hi"
+
+    def test_get_tokenizer_has_padding(self):
+        tok = get_tokenizer()
+        assert len(tok) == 50258
+        assert tok.pad_token_id == 50257
+
+    def test_pad_or_truncate(self):
+        assert pad_or_truncate([1, 2], 4, 9) == [1, 2, 9, 9]
+        assert pad_or_truncate([1, 2, 3, 4, 5], 3, 9) == [1, 2, 3]
+
+
+class TestDecodeImg:
+    def test_center_crop_and_range(self):
+        arr = decode_img(_jpeg_bytes(64, 48), size=32)
+        assert arr.shape == (32, 32, 3)
+        assert arr.min() >= -1.0 and arr.max() <= 1.0
+        # red image: channel 0 near +1, channels 1,2 near -1
+        assert arr[..., 0].mean() > 0.9
+        assert arr[..., 1].mean() < -0.8
+
+
+def _make_dataset(tmp_path, n=12):
+    img_dir = tmp_path / "imgs"
+    os.makedirs(img_dir)
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    for i in range(n):
+        arr = rng.randint(0, 255, (48, 64, 3), np.uint8)
+        Image.fromarray(arr).save(img_dir / f"img_{i}.jpg")
+    return img_dir
+
+
+class TestBuilders:
+    def test_random_then_paired_then_load(self, tmp_path):
+        img_dir = _make_dataset(tmp_path)
+        data_dir = tmp_path / "data"
+        jsonl = create_random_dataset(
+            str(img_dir / "*.jpg"), str(data_dir), words_per_caption=5
+        )
+        assert len(load_jsonl(jsonl)) == 12
+        shards = create_paired_dataset(
+            jsonl, "smoke", str(tmp_path / "records"),
+            examples_per_file=5, tokenizer=ByteTokenizer(),
+        )
+        assert shards == 3  # 12 examples / 5 per file — rollover bug fixed
+        files = sorted(os.listdir(tmp_path / "records"))
+        assert files == ["smoke_0.tfrecords", "smoke_1.tfrecords", "smoke_2.tfrecords"]
+        total = sum(
+            1
+            for f in files
+            for _ in read_tfrecord_file(str(tmp_path / "records" / f))
+        )
+        assert total == 12
+
+    def test_full_caption_tokenized(self, tmp_path):
+        """The reference tokenized caption[0] (first char); we must not."""
+        img_dir = _make_dataset(tmp_path, n=1)
+        jsonl = tmp_path / "c.jsonl"
+        dump_jsonl(
+            [{"caption": "hello world", "image_path": f"imgs/img_0.jpg"}],
+            jsonl,
+        )
+        # builder resolves image_path relative to the jsonl's dir
+        create_paired_dataset(
+            str(jsonl), "x", str(tmp_path / "rec"), tokenizer=ByteTokenizer()
+        )
+        rec = next(read_tfrecord_file(str(tmp_path / "rec" / "x_0.tfrecords")))
+        ex = parse_example(rec)
+        assert len(ex["caption"]) == len("hello world")
+
+
+class TestPipelines:
+    def test_vae_jpg_glob_pipeline(self, tmp_path):
+        img_dir = _make_dataset(tmp_path)
+        params = Config.from_mapping(
+            {
+                "dataset": {"train_path": str(img_dir / "*.jpg"), "image_size": 16},
+                "train_batch_size": 4,
+                "n_channels": 3,
+            }
+        )
+        it = iter(vae_input_fn(params, shard=(0, 1)))
+        batch = next(it)
+        assert batch["image"].shape == (4, 16, 16, 3)
+        assert batch["image"].dtype == np.float32
+
+    def test_dalle_tfrecord_pipeline(self, tmp_path):
+        img_dir = _make_dataset(tmp_path)
+        jsonl = create_random_dataset(
+            str(img_dir / "*.jpg"), str(tmp_path / "d"), words_per_caption=4
+        )
+        create_paired_dataset(
+            jsonl, "t", str(tmp_path / "rec"), tokenizer=ByteTokenizer()
+        )
+        params = Config.from_mapping(
+            {
+                "dataset": {
+                    "train_path": str(tmp_path / "rec" / "*.tfrecords"),
+                    "image_size": 16,
+                },
+                "train_batch_size": 4,
+                "text_seq_len": 8,
+                "padding_id": 50257,
+            }
+        )
+        it = iter(dalle_input_fn(params, shard=(0, 1)))
+        batch = next(it)
+        assert batch["image"].shape == (4, 16, 16, 3)
+        assert batch["caption"].shape == (4, 8)
+        assert batch["caption"].dtype == np.int32
+
+    def test_drop_remainder_and_repeat(self, tmp_path):
+        img_dir = _make_dataset(tmp_path, n=5)
+        params = Config.from_mapping(
+            {
+                "dataset": {"train_path": str(img_dir / "*.jpg"), "image_size": 8},
+                "train_batch_size": 4,
+            }
+        )
+        # non-repeating: 5 images -> exactly 1 batch of 4 (remainder dropped)
+        batches = list(vae_input_fn(params, shard=(0, 1), repeat=False))
+        assert len(batches) == 1
+        # repeating: can pull more batches than one epoch provides
+        it = iter(vae_input_fn(params, shard=(0, 1), repeat=True))
+        for _ in range(3):
+            assert next(it)["image"].shape[0] == 4
+
+    def test_host_sharding_partitions_files(self, tmp_path):
+        img_dir = _make_dataset(tmp_path, n=8)
+        params = Config.from_mapping(
+            {
+                "dataset": {"train_path": str(img_dir / "*.jpg"), "image_size": 8},
+                "train_batch_size": 2,
+            }
+        )
+        p0 = vae_input_fn(params, shard=(0, 2), repeat=False)
+        p1 = vae_input_fn(params, shard=(1, 2), repeat=False)
+        assert set(p0.files).isdisjoint(p1.files)
+        assert len(p0.files) + len(p1.files) == 8
