@@ -46,7 +46,13 @@ def get_tokenizer(name: str = "gpt2"):
     try:
         from transformers import GPT2TokenizerFast  # noqa: PLC0415
 
-        tok = GPT2TokenizerFast.from_pretrained(name)
+        # local_files_only: a cache/network miss must fail fast, not retry
+        # HTTP forever — air-gapped TPU pods are a supported deployment.
+        # Set DALLE_TPU_TOKENIZER_DOWNLOAD=1 to allow fetching.
+        import os  # noqa: PLC0415
+
+        local_only = os.environ.get("DALLE_TPU_TOKENIZER_DOWNLOAD") != "1"
+        tok = GPT2TokenizerFast.from_pretrained(name, local_files_only=local_only)
         tok.add_special_tokens({"pad_token": PAD_TOKEN})
         tok.is_fallback = False
         return tok

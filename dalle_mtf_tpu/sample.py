@@ -1,0 +1,93 @@
+"""Text -> image sampling (the PREDICT path the reference never implemented —
+every reference predict branch raises NotImplementedError, model_fns.py:
+135-136, model_fns_tf.py:29-30, train_dalle.py:88-89).
+
+Pipeline: tokenize caption -> DALLE prefill over the text prompt -> one
+compiled ``lax.scan`` decoding image_seq_len tokens against the KV cache ->
+VAE decode_tokens -> pixels in [0, 1].
+
+TPU notes: the whole generation is a single jit'd program (one host
+round-trip); logits are masked to the image-token band
+[text_vocab_size, text_vocab_size + image_vocab_size) so the model can never
+emit text/EOS tokens inside the image region; sampling supports temperature
+and top-k.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from dalle_mtf_tpu.models.dalle import DALLE
+from dalle_mtf_tpu.models.vae import DiscreteVAE
+
+
+def _sample_token(rng, logits, temperature: float, top_k: int):
+    logits = logits.astype(jnp.float32)
+    if top_k:
+        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return jax.random.categorical(rng, logits / temperature, axis=-1).astype(
+        jnp.int32
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dalle", "temperature", "top_k"),
+)
+def generate_image_tokens(
+    dalle: DALLE,
+    params,
+    text_tokens: jax.Array,
+    rng: jax.Array,
+    temperature: float = 1.0,
+    top_k: int = 0,
+) -> jax.Array:
+    """text_tokens i32[B, text_seq_len] -> image token ids i32[B, image_seq_len]
+    (0-based within the VAE codebook, offset already removed)."""
+    cfg = dalle.cfg
+    b = text_tokens.shape[0]
+    t = cfg.text_seq_len
+    lo = cfg.text_vocab_size
+    hi = lo + cfg.image_vocab_size
+
+    cache = dalle.init_cache(b)
+    logits, cache = dalle.prefill(params, text_tokens.astype(jnp.int32), cache)
+
+    band = jnp.arange(cfg.total_tokens)
+    band_mask = jnp.where((band >= lo) & (band < hi), 0.0, -jnp.inf)
+
+    def step(carry, pos):
+        cache_, logits_, rng_ = carry
+        rng_, sub = jax.random.split(rng_)
+        tok = _sample_token(sub, logits_ + band_mask, temperature, top_k)
+        new_logits, cache_ = dalle.decode_step(params, cache_, tok, pos)
+        return (cache_, new_logits, rng_), tok
+
+    positions = jnp.arange(t, t + cfg.image_seq_len)
+    (_, _, _), tokens = jax.lax.scan(step, (cache, logits, rng), positions)
+    # scan stacks on the leading axis -> [image_seq_len, B]
+    return tokens.T - lo
+
+
+def generate_images(
+    dalle: DALLE,
+    dalle_params,
+    vae: DiscreteVAE,
+    vae_params,
+    text_tokens: jax.Array,
+    rng: jax.Array,
+    temperature: float = 1.0,
+    top_k: int = 0,
+) -> jax.Array:
+    """Full text->pixels path. Returns f32[B, H, W, C] in [0, 1]."""
+    img_tokens = generate_image_tokens(
+        dalle, dalle_params, text_tokens, rng,
+        temperature=temperature, top_k=top_k,
+    )
+    return vae.decode_tokens(vae_params, img_tokens)

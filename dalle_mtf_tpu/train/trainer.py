@@ -149,7 +149,12 @@ class Trainer:
             }
 
         with self.mesh:
-            return jax.jit(make)(rng)
+            state = jax.jit(make)(rng)
+        # materialize before anything else (notably orbax's background
+        # threads) runs: leaving this async can starve the execution for
+        # minutes on tunneled/remote TPU runtimes
+        jax.block_until_ready(state)
+        return state
 
     def param_count(self, state: TrainState) -> int:
         return sum(x.size for x in jax.tree_util.tree_leaves(state["params"]))
@@ -344,11 +349,12 @@ class Trainer:
             if (step + 1) % steps_per_ckpt == 0 or (step + 1) == train_steps:
                 self.save(state)
                 if eval_steps and eval_data_iter is not None:
+                    eval_rng = jax.random.fold_in(rng, 2)
                     losses = []
                     for i in range(eval_steps):
                         em = self.eval_step(
                             state, next(eval_data_iter),
-                            jax.random.fold_in(step_rng, -i - 1),
+                            jax.random.fold_in(eval_rng, i),
                         )
                         losses.append(float(jax.device_get(em["loss"])))
                     self.writer.scalars(step + 1, {"eval_loss": float(np.mean(losses))})

@@ -1,0 +1,94 @@
+"""Generate images from text with a trained DALLE + VAE.
+
+New capability vs the reference (whose PREDICT paths all raise
+NotImplementedError). Usage:
+
+    python sample_dalle.py --model dalle_example --text "a red square" \
+        --out samples/ --n 4 --temperature 1.0 --top_k 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dalle_mtf_tpu.data.tokenizer import get_tokenizer, pad_or_truncate
+from dalle_mtf_tpu.sample import generate_images
+from dalle_mtf_tpu.train.tasks import make_dalle_task
+from dalle_mtf_tpu.utils.config import fetch_model_params
+from dalle_mtf_tpu.utils.logging_utils import setup_logging
+from train_dalle import _ckpt_dir, load_vae_params
+
+
+def parse_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", type=str, required=True)
+    parser.add_argument("--text", type=str, required=True)
+    parser.add_argument("--n", type=int, default=1, help="images to generate")
+    parser.add_argument("--out", type=str, default="samples")
+    parser.add_argument("--temperature", type=float, default=1.0)
+    parser.add_argument("--top_k", type=int, default=0)
+    parser.add_argument("--seed", type=int, default=0)
+    return parser.parse_args()
+
+
+def load_dalle_params(params, dalle):
+    import orbax.checkpoint as ocp
+
+    mngr = ocp.CheckpointManager(
+        _ckpt_dir(params["model_path"]),
+        options=ocp.CheckpointManagerOptions(create=False),
+    )
+    latest = mngr.latest_step()
+    if latest is None:
+        raise FileNotFoundError(
+            f"no DALLE checkpoint under {params['model_path']}"
+        )
+    return mngr.restore(latest)["params"]
+
+
+def main():
+    args = parse_args()
+    params = fetch_model_params(args.model)
+    assert params["model_type"] == "dalle"
+    setup_logging(params["config_name"] or args.model)
+
+    tokenizer = get_tokenizer()
+    params["padding_id"] = tokenizer.pad_token_id
+    ids = pad_or_truncate(
+        tokenizer.encode(args.text), params["text_seq_len"], tokenizer.pad_token_id
+    )
+    text = jnp.asarray([ids] * args.n, jnp.int32)
+
+    dalle, vae, _init, _loss, _eval, _axes = make_dalle_task(params)
+    dalle_params = load_dalle_params(params, dalle)
+    vae_params = load_vae_params(params, vae)
+
+    t0 = time.time()
+    imgs = generate_images(
+        dalle, dalle_params, vae, vae_params, text,
+        jax.random.PRNGKey(args.seed),
+        temperature=args.temperature, top_k=args.top_k,
+    )
+    imgs = np.asarray(jax.device_get(imgs))
+    dt = time.time() - t0
+
+    os.makedirs(args.out, exist_ok=True)
+    from PIL import Image
+
+    for i, img in enumerate(imgs):
+        arr = np.clip(img * 255.0, 0, 255).astype(np.uint8)
+        Image.fromarray(arr).save(os.path.join(args.out, f"sample_{i}.png"))
+    print(
+        f"wrote {len(imgs)} images to {args.out} "
+        f"({dt:.2f}s total incl. compile, {dalle.cfg.image_seq_len} tokens each)"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dalle_mtf_tpu.models.dalle import DALLE, DalleConfig
+from dalle_mtf_tpu.models.vae import DiscreteVAE, VAEConfig
+from dalle_mtf_tpu.sample import generate_image_tokens, generate_images
+
+CFG = DalleConfig(
+    n_embd=32,
+    text_vocab_size=40,
+    image_vocab_size=32,
+    text_seq_len=8,
+    image_seq_len=16,
+    n_layers=2,
+    n_heads=2,
+)
+VCFG = VAEConfig(num_tokens=32, image_size=16, convblocks=((1, 8), (2, 16)))
+
+
+def test_generated_tokens_in_codebook_range():
+    model = DALLE(CFG)
+    params = model.init(jax.random.PRNGKey(0))
+    text = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, 40)
+    toks = generate_image_tokens(model, params, text, jax.random.PRNGKey(2))
+    assert toks.shape == (2, 16)
+    assert int(toks.min()) >= 0 and int(toks.max()) < CFG.image_vocab_size
+
+
+def test_greedy_decode_matches_parallel_forward():
+    """temperature=0 incremental decode must equal greedy rollout with the
+    full parallel forward (KV-cache correctness end-to-end)."""
+    model = DALLE(CFG)
+    params = model.init(jax.random.PRNGKey(0))
+    text = jax.random.randint(jax.random.PRNGKey(1), (1, 8), 0, 40)
+
+    toks = generate_image_tokens(
+        model, params, text, jax.random.PRNGKey(2), temperature=0.0
+    )
+
+    # manual greedy rollout via the parallel forward
+    lo = CFG.text_vocab_size
+    hi = lo + CFG.image_vocab_size
+    seq = text.astype(jnp.int32)
+    out = []
+    for _ in range(CFG.image_seq_len):
+        logits = model.forward(params, seq, train=False)[:, -1]
+        band = jnp.where(
+            (jnp.arange(CFG.total_tokens) >= lo)
+            & (jnp.arange(CFG.total_tokens) < hi),
+            0.0, -jnp.inf,
+        )
+        tok = jnp.argmax(logits + band, -1).astype(jnp.int32)
+        out.append(int(tok[0]) - lo)
+        seq = jnp.concatenate([seq, tok[:, None]], axis=1)
+    np.testing.assert_array_equal(np.asarray(toks[0]), np.asarray(out))
+
+
+def test_generate_images_end_to_end():
+    model = DALLE(CFG)
+    vae = DiscreteVAE(VCFG)
+    dp = model.init(jax.random.PRNGKey(0))
+    vp = vae.init(jax.random.PRNGKey(1))
+    text = jax.random.randint(jax.random.PRNGKey(2), (2, 8), 0, 40)
+    imgs = generate_images(model, dp, vae, vp, text, jax.random.PRNGKey(3), top_k=8)
+    assert imgs.shape == (2, 16, 16, 3)
+    assert np.isfinite(np.asarray(imgs)).all()

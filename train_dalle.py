@@ -1,0 +1,120 @@
+"""Train DALLE (stage 2) on [text ; image-token] sequences.
+
+Same CLI and config surface as the reference train_dalle.py:12-31: --model
+names a DALLE config whose "vae_model" key points at the stage-1 VAE config;
+the frozen VAE weights are restored from the VAE's checkpoint directory (or
+"vae_checkpoint_path" override, reference model_fns.py:36-41) and used
+on-device to tokenize images every step (model_fns.py:72-77).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+import jax
+
+from dalle_mtf_tpu.data.pipeline import dalle_input_fn
+from dalle_mtf_tpu.data.tokenizer import get_tokenizer
+from dalle_mtf_tpu.train.tasks import make_dalle_task
+from dalle_mtf_tpu.train.trainer import Trainer
+from dalle_mtf_tpu.utils.config import fetch_model_params
+from dalle_mtf_tpu.utils.logging_utils import remove_model_dir, setup_logging
+
+logger = logging.getLogger(__name__)
+
+
+def parse_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--tpu", type=str, help="Name of TPU to train on (compat; unused under JAX)")
+    parser.add_argument("--gpu_ids", nargs="+", type=str, help="(compat; unused under JAX)")
+    parser.add_argument("--model", type=str, required=True, help="JSON model config name or path")
+    parser.add_argument("--new", action="store_true", help="If set, deletes previous checkpoint, if it exists, and "
+                                                           "starts a new training run")
+    parser.add_argument("--yes", action="store_true", help="skip the --new confirmation prompt")
+    return parser.parse_args()
+
+
+def load_vae_params(params, vae):
+    """Restore the frozen stage-1 VAE weights (reference load_vae_model +
+    initialize_vae_weights, model_fns.py:11-52)."""
+    import orbax.checkpoint as ocp
+
+    vae_dir = params.get("vae_checkpoint_path") or params["vae_params"]["model_path"]
+    template = jax.eval_shape(vae.init, jax.random.PRNGKey(0))
+    mngr = ocp.CheckpointManager(
+        _ckpt_dir(vae_dir), options=ocp.CheckpointManagerOptions(create=False)
+    )
+    latest = mngr.latest_step()
+    if latest is None:
+        raise FileNotFoundError(
+            f"no VAE checkpoint found under {vae_dir} — train the VAE first "
+            f"(python train_vae.py --model {params['vae_model']})"
+        )
+    # cross-model restore: pull only the params subtree out of the VAE's
+    # TrainState checkpoint (the reference did this with
+    # tf.train.init_from_checkpoint over the "vae" scope, model_fns.py:11-32)
+    restored = mngr.restore(latest)
+    vae_params = restored["params"]
+    got = jax.tree_util.tree_structure(vae_params)
+    want = jax.tree_util.tree_structure(template)
+    if got != want:
+        raise ValueError(
+            f"VAE checkpoint at {vae_dir} doesn't match the vae_model config "
+            f"(param tree mismatch)"
+        )
+    logger.info("restored frozen VAE from %s @ step %d", vae_dir, latest)
+    return vae_params
+
+
+def _ckpt_dir(model_dir: str) -> str:
+    import os
+
+    d = model_dir if "://" in model_dir else os.path.abspath(os.path.expanduser(model_dir))
+    return os.path.join(d, "checkpoints")
+
+
+def main():
+    args = parse_args()
+    params = fetch_model_params(args.model)
+    assert params["model_type"] == "dalle", f"config {args.model} is not a dalle config"
+    assert params["vae_params"] is not None, "vae model config must be supplied (vae_model key)"
+    setup_logging(params["config_name"] or args.model)
+
+    if args.new:
+        remove_model_dir(params["model_path"], interactive=not args.yes)
+
+    # tokenizer vocab check + padding id (reference train_dalle.py:47-49)
+    tokenizer = get_tokenizer()
+    assert params["text_vocab_size"] == len(tokenizer), (
+        f"config text_vocab_size {params['text_vocab_size']} != tokenizer vocab {len(tokenizer)}"
+    )
+    params["padding_id"] = tokenizer.pad_token_id
+
+    dalle, vae, init_fn, loss_fn, eval_loss_fn, axes = make_dalle_task(params)
+    vae_params = load_vae_params(params, vae)
+
+    trainer = Trainer(
+        params, init_fn, loss_fn, axes,
+        model_dir=params["model_path"],
+        seq_len=dalle.cfg.total_seq_len,
+        frozen_params=vae_params,
+        eval_loss_fn=eval_loss_fn,
+    )
+    train_iter = iter(dalle_input_fn(params, eval=False))
+    eval_steps = params.get("eval_steps") or 0
+    eval_iter = iter(dalle_input_fn(params, eval=True)) if eval_steps else None
+
+    logger.info(
+        "starting DALLE training: %s (total_seq_len=%d, image_seq_len=%d)",
+        params["config_name"], dalle.cfg.total_seq_len, dalle.cfg.image_seq_len,
+    )
+    trainer.run(
+        train_iter, jax.random.PRNGKey(params.get("seed") or 0),
+        eval_data_iter=eval_iter,
+    )
+    trainer.close()
+
+
+if __name__ == "__main__":
+    main()
