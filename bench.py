@@ -1,0 +1,124 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline: DALLE training throughput in tokens/sec/chip at dalle_coco scale
+(12L/8H/1024d, 256 text + 1024 image tokens — configs/dalle_coco.json),
+full train step (fwd + bwd + AdamW update) in bf16 with the Pallas attention
+kernel. The batch is sized per chip; on multi-chip it data-parallelizes via
+the same mesh machinery as training.
+
+vs_baseline: the reference publishes NO numbers (BASELINE.md). The operative
+target is ">= 2x mtf v3-32 tokens/sec/chip" (driver BASELINE.json). We use a
+documented estimate for the mtf-on-v3 baseline: dalle_coco is ~1.2 GFLOP/token
+(fwd+bwd, ~180M params + attention); mtf-era training stacks typically reach
+~25% MFU on TPU v3 (123 TFLOP/s bf16) -> ~24.5k tokens/sec/chip. So
+BASELINE_TOKENS_PER_SEC_CHIP = 24_500 and the >=2x goal means
+vs_baseline >= 2.0. This estimate stays fixed across rounds so the number is
+comparable round-to-round.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import optax
+
+BASELINE_TOKENS_PER_SEC_CHIP = 24_500.0
+
+# per-chip batch: sized for one v5e/v5p chip's HBM at dalle_coco scale
+PER_CHIP_BATCH = 16
+WARMUP_STEPS = 3
+BENCH_STEPS = 10
+
+
+def main():
+    from dalle_mtf_tpu.models.dalle import DALLE, DalleConfig
+    from dalle_mtf_tpu.parallel.mesh import build_mesh
+    from dalle_mtf_tpu.train.optim import get_optimizer
+    from dalle_mtf_tpu.utils.config import Config
+
+    n_chips = jax.device_count()
+    cfg = DalleConfig(
+        n_embd=1024,
+        text_vocab_size=50258,
+        image_vocab_size=512,
+        text_seq_len=256,
+        image_seq_len=1024,
+        n_layers=12,
+        n_heads=8,
+        bf_16=True,
+        recompute_grad=True,  # dalle_coco sets it; needed for batch 16/chip
+    )
+    model = DALLE(cfg)
+    batch = PER_CHIP_BATCH * n_chips
+    seq = cfg.total_seq_len
+
+    opt_params = Config.from_mapping(
+        {"lr": 1e-4, "train_steps": 100_000, "warmup_steps": 3000}
+    )
+    opt, _sched = get_optimizer(opt_params)
+
+    mesh = build_mesh(f"data:{n_chips}")
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
+    repl = NamedSharding(mesh, PartitionSpec())
+
+    params = jax.jit(model.init, out_shardings=repl)(jax.random.PRNGKey(0))
+    opt_state = jax.jit(opt.init, out_shardings=repl)(params)
+    tokens = jax.device_put(
+        jax.random.randint(
+            jax.random.PRNGKey(1), (batch, seq), 0, cfg.total_tokens, jnp.int32
+        ),
+        batch_sharding,
+    )
+
+    @jax.jit
+    def train_step(params, opt_state, tokens, rng):
+        def loss_fn(p):
+            loss, _ = model.loss(p, tokens, rng, train=True)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    rng = jax.random.PRNGKey(2)
+    for i in range(WARMUP_STEPS):
+        params, opt_state, loss = train_step(
+            params, opt_state, tokens, jax.random.fold_in(rng, i)
+        )
+    float(loss)  # host fetch: on some remote runtimes block_until_ready
+    # does not actually synchronize; a value fetch always does
+
+    t0 = time.perf_counter()
+    for i in range(BENCH_STEPS):
+        params, opt_state, loss = train_step(
+            params, opt_state, tokens, jax.random.fold_in(rng, 100 + i)
+        )
+    # the final loss depends on every previous update, so this fetch
+    # forces the whole timed chain
+    float(loss)
+    dt = time.perf_counter() - t0
+
+    tokens_per_sec = batch * seq * BENCH_STEPS / dt
+    tokens_per_sec_chip = tokens_per_sec / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "dalle_coco_train_tokens_per_sec_per_chip",
+                "value": round(tokens_per_sec_chip, 1),
+                "unit": "tokens/sec/chip",
+                "vs_baseline": round(
+                    tokens_per_sec_chip / BASELINE_TOKENS_PER_SEC_CHIP, 3
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
