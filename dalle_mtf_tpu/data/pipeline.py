@@ -33,7 +33,9 @@ from typing import Any, Callable, Iterator, Mapping
 
 import numpy as np
 
-from dalle_mtf_tpu.data.tfrecord import parse_example, read_tfrecord_file
+from dalle_mtf_tpu.data.tfrecord import parse_example
+# native streaming reader with built-in pure-Python fallback
+from dalle_mtf_tpu.data.native import read_tfrecord_file
 
 logger = logging.getLogger(__name__)
 
@@ -56,8 +58,14 @@ def decode_img(data: bytes, size: int, channels: int = 3) -> np.ndarray:
     """jpeg bytes -> f32 [size, size, channels] in [-1, 1].
 
     Center-square crop + bilinear resize + (x-127.5)/127.5, the *intended*
-    behavior of input_fns.py:4-21.
+    behavior of input_fns.py:4-21. Uses the native libjpeg fast path
+    (native/dataloader.cpp) when available, PIL otherwise.
     """
+    from dalle_mtf_tpu.data import native  # noqa: PLC0415
+
+    out = native.decode_img(data, size, channels)
+    if out is not None:
+        return out
     from PIL import Image  # noqa: PLC0415
 
     img = Image.open(io.BytesIO(data))
