@@ -316,6 +316,10 @@ class Trainer:
         state = self.init_state(rng)
         state = self.restore(state)
         start = int(jax.device_get(state["step"]))
+        # startup layout dump (reference get_graph_info, utils/utils.py:55-100)
+        from dalle_mtf_tpu.utils.introspect import describe_params  # noqa: PLC0415
+
+        describe_params(state["params"], self.logical_axes, self.rules, self.mesh)
         logger.info(
             "training %s from step %d to %d (%.2fM params)",
             p.get("config_name"), start, train_steps,
