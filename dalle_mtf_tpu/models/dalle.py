@@ -262,7 +262,7 @@ class DALLE:
 
     # --------------------------------------------------------------- forward
 
-    def forward(
+    def hidden(
         self,
         params,
         tokens: jax.Array,
@@ -270,7 +270,8 @@ class DALLE:
         train: bool = False,
         constrain: Callable | None = None,
     ) -> jax.Array:
-        """tokens [B, S] int32 -> logits [B, S, total_tokens] fp32."""
+        """tokens [B, S] int32 -> final-LN hidden states [B, S, E]
+        (compute dtype)."""
         cfg = self.cfg
         if rng is None:
             rng = jax.random.PRNGKey(0)
@@ -296,7 +297,19 @@ class DALLE:
             body = jax.checkpoint(body, policy=policy)
         x, _ = jax.lax.scan(body, x, (params["layers"], layer_rngs))
 
-        x = self._layer_norm(x, params["lnf_g"], params["lnf_b"])
+        return self._layer_norm(x, params["lnf_g"], params["lnf_b"])
+
+    def forward(
+        self,
+        params,
+        tokens: jax.Array,
+        rng: jax.Array | None = None,
+        train: bool = False,
+        constrain: Callable | None = None,
+    ) -> jax.Array:
+        """tokens [B, S] int32 -> logits [B, S, total_tokens] fp32."""
+        dtype = self.cfg.policy.compute_dtype
+        x = self.hidden(params, tokens, rng, train, constrain)
         # bf16 inputs, fp32 accumulate + fp32 logits out: the reference also
         # computes to_logits in the activation dtype and casts the *result*
         # to fp32 (models.py:391-395) — an fp32 matmul here costs ~4x on the
@@ -315,14 +328,42 @@ class DALLE:
         train: bool = True,
         constrain: Callable | None = None,
         z_loss: float = 0.0,
+        fused_xent: bool = False,
     ):
         """Next-token xent, labels = shift-left(tokens) + EOS appended
         (reference models.py:397-416). Returns (scalar mean loss fp32,
-        per-position loss [B, S])."""
-        logits = self.forward(params, tokens, rng, train, constrain)
-        eos_col = jnp.full((tokens.shape[0], 1), self.cfg.eos, tokens.dtype)
+        per-position loss [B, S]).
+
+        With ``fused_xent`` the [B, S, vocab] logits tensor is never
+        materialized — the loss streams over row chunks (ops/xent_fused.py),
+        saving ~8 GB of HBM residuals at dalle_coco scale. Off by default:
+        on v5e the streamed dw accumulation costs ~12% step time at the
+        default batch; enable it (config key "fused_xent") when the model is
+        memory-bound instead."""
+        cfg = self.cfg
+        eos_col = jnp.full((tokens.shape[0], 1), cfg.eos, tokens.dtype)
         labels = jnp.concatenate([tokens[:, 1:], eos_col], axis=1)
-        loss_batch = softmax_cross_entropy_with_logits(logits, labels, z_loss)
+
+        if fused_xent:
+            from dalle_mtf_tpu.ops.xent_fused import chunked_softmax_xent  # noqa: PLC0415
+
+            dtype = cfg.policy.compute_dtype
+            x = self.hidden(params, tokens, rng, train, constrain)
+            b_, s_, e_ = x.shape
+            n = b_ * s_
+            num_chunks = next(c for c in (8, 4, 2, 1) if n % c == 0)
+            loss_flat = chunked_softmax_xent(
+                x.reshape(n, e_),
+                params["w_out"].astype(dtype),
+                params["b_out"],
+                labels.reshape(n),
+                z_loss,
+                num_chunks,
+            )
+            loss_batch = loss_flat.reshape(b_, s_)
+        else:
+            logits = self.forward(params, tokens, rng, train, constrain)
+            loss_batch = softmax_cross_entropy_with_logits(logits, labels, z_loss)
         return loss_batch.mean(), loss_batch
 
     # --------------------------------------------------------- KV-cache path

@@ -1,0 +1,53 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dalle_mtf_tpu.ops.losses import softmax_cross_entropy_with_logits
+from dalle_mtf_tpu.ops.xent_fused import chunked_softmax_xent
+
+
+@pytest.mark.parametrize("z_loss", [0.0, 1e-2])
+def test_fused_matches_unfused_loss_and_grads(z_loss):
+    n, e, v = 32, 16, 53
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    x = jax.random.normal(ks[0], (n, e), jnp.float32)
+    w = jax.random.normal(ks[1], (e, v), jnp.float32) * 0.1
+    b = jax.random.normal(ks[2], (v,), jnp.float32) * 0.1
+    t = jax.random.randint(ks[3], (n,), 0, v)
+
+    def unfused(x_, w_, b_):
+        logits = x_ @ w_ + b_
+        return softmax_cross_entropy_with_logits(logits, t, z_loss).mean()
+
+    def fused(x_, w_, b_):
+        return chunked_softmax_xent(x_, w_, b_, t, z_loss, 4).mean()
+
+    lu, gu = jax.value_and_grad(unfused, argnums=(0, 1, 2))(x, w, b)
+    lf, gf = jax.value_and_grad(fused, argnums=(0, 1, 2))(x, w, b)
+    np.testing.assert_allclose(float(lu), float(lf), rtol=1e-6)
+    for a, b_ in zip(gu, gf):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+
+
+def test_dalle_loss_fused_matches_unfused():
+    from dalle_mtf_tpu.models.dalle import DALLE, DalleConfig
+
+    cfg = DalleConfig(
+        n_embd=32, text_vocab_size=40, image_vocab_size=16,
+        text_seq_len=8, image_seq_len=8, n_layers=2, n_heads=2,
+    )
+    model = DALLE(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    tokens = jax.random.randint(
+        jax.random.PRNGKey(1), (2, cfg.total_seq_len), 0, cfg.total_tokens
+    )
+    lf, lbf = model.loss(params, tokens, train=False, fused_xent=True)
+    lu, lbu = model.loss(params, tokens, train=False, fused_xent=False)
+    np.testing.assert_allclose(float(lf), float(lu), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(lbf), np.asarray(lbu), atol=1e-4)
+
+    gf = jax.grad(lambda p: model.loss(p, tokens, train=True, fused_xent=True)[0])(params)
+    gu = jax.grad(lambda p: model.loss(p, tokens, train=True, fused_xent=False)[0])(params)
+    for a, b in zip(jax.tree_util.tree_leaves(gf), jax.tree_util.tree_leaves(gu)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
