@@ -158,6 +158,34 @@ def tree_shardings(mesh: Mesh, rules: dict[str, str], logical_tree):
     )
 
 
+def shard_params(params, mesh: Mesh, rules: dict[str, str], logical_tree):
+    """device_put a param pytree with shape-aware shardings.
+
+    Unlike ``tree_shardings`` this checks divisibility: a dimension whose
+    size doesn't divide by its mesh axis is replicated instead (mtf's layout
+    solver likewise refused non-divisible splits). Needed for explicit
+    ``jax.device_put`` — inside jit, with_sharding_constraint pads
+    transparently, but host-side placement does not.
+    """
+    flat_p, treedef = jax.tree_util.tree_flatten(params)
+    flat_a = jax.tree_util.tree_leaves(
+        logical_tree, is_leaf=lambda x: isinstance(x, tuple)
+    )
+    out = []
+    for leaf, axes in zip(flat_p, flat_a):
+        spec = []
+        for dim, name in zip(leaf.shape, axes):
+            axis = rules.get(name)
+            if axis is not None and axis in mesh.shape and dim % mesh.shape[axis] == 0:
+                spec.append(axis)
+            else:
+                spec.append(None)
+        out.append(
+            jax.device_put(leaf, NamedSharding(mesh, PartitionSpec(*spec)))
+        )
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def constrain(x, mesh: Mesh, rules: dict[str, str], *logical_axes: str | None):
     """`with_sharding_constraint` by logical dimension names (inside jit)."""
     return jax.lax.with_sharding_constraint(

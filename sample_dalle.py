@@ -65,9 +65,17 @@ def main():
     )
     text = jnp.asarray([ids] * args.n, jnp.int32)
 
-    dalle, vae, _init, _loss, _eval, _axes = make_dalle_task(params)
+    dalle, vae, _init, _loss, _eval, axes = make_dalle_task(params)
     dalle_params = load_dalle_params(params, dalle)
     vae_params = load_vae_params(params, vae)
+
+    # shard over the config's mesh (12B-scale sampling needs TP; on one chip
+    # this is a no-op). GSPMD propagates the sharding through prefill/decode.
+    from dalle_mtf_tpu.parallel.mesh import build_mesh, parse_layout, shard_params
+
+    mesh = build_mesh(params.get("mesh_shape"))
+    rules = parse_layout(params.get("layout"))
+    dalle_params = shard_params(dalle_params, mesh, rules, axes)
 
     t0 = time.time()
     imgs = generate_images(
