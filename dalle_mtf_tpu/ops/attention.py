@@ -66,7 +66,10 @@ def attention_reference(
     return out.astype(q.dtype)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, window, seq_len: int):
+def _flash_kernel(
+    q_ref, k_ref, v_ref, o_ref, lse_ref=None,
+    *, block_k: int, window, seq_len: int, with_lse: bool = False,
+):
     """One (batch*head, q-block) program of causal flash attention.
 
     q_ref: [block_q, D]; k_ref/v_ref: [S, D] (whole sequence for this head —
@@ -121,12 +124,28 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, window, seq_len: 
     acc = jnp.zeros((block_q, d), jnp.float32)
     m0 = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc, _, l = jax.lax.fori_loop(0, num_kv_blocks, body, (acc, m0, l0))
+    acc, m, l = jax.lax.fori_loop(0, num_kv_blocks, body, (acc, m0, l0))
     o_ref[...] = (acc / l).astype(o_ref.dtype)
+    if lse_ref is not None:
+        # lane-replicated log-sum-exp of the scaled scores, for the backward
+        # kernels (the [*, 128] replication keeps per-row scalars tileable)
+        lse = m + jnp.log(l)
+        lse_ref[...] = jnp.broadcast_to(lse, (block_q, LSE_LANES))
+
+
+LSE_LANES = 128
+
+
+def _pad_seq(x, s_pad):
+    s = x.shape[-2]
+    if s_pad == s:
+        return x
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(0, s_pad - s), (0, 0)])
 
 
 def _flash_forward(
-    q, k, v, window, block_q: int, block_k: int, interpret: bool
+    q, k, v, window, block_q: int, block_k: int, interpret: bool,
+    with_lse: bool = False,
 ):
     b, h, s, d = q.shape
     block_q = min(block_q, s)
@@ -134,21 +153,25 @@ def _flash_forward(
     s_pad = ((s + block_q - 1) // block_q) * block_q
     # Pad seq to a block multiple; padded keys are masked by seq_len guard,
     # padded query rows are sliced off below.
-    if s_pad != s:
-        pad = [(0, 0), (0, 0), (0, s_pad - s), (0, 0)]
-        q = jnp.pad(q, pad)
-        k = jnp.pad(k, pad)
-        v = jnp.pad(v, pad)
-
     bh = b * h
-    qf = q.reshape(bh, s_pad, d)
-    kf = k.reshape(bh, s_pad, d)
-    vf = v.reshape(bh, s_pad, d)
+    qf = _pad_seq(q, s_pad).reshape(bh, s_pad, d)
+    kf = _pad_seq(k, s_pad).reshape(bh, s_pad, d)
+    vf = _pad_seq(v, s_pad).reshape(bh, s_pad, d)
 
     grid = (bh, s_pad // block_q)
-    out = pl.pallas_call(
+    out_shapes = [jax.ShapeDtypeStruct((bh, s_pad, d), q.dtype)]
+    out_specs = [pl.BlockSpec((None, block_q, d), lambda b_, i: (b_, i, 0))]
+    if with_lse:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((bh, s_pad, LSE_LANES), jnp.float32)
+        )
+        out_specs.append(
+            pl.BlockSpec((None, block_q, LSE_LANES), lambda b_, i: (b_, i, 0))
+        )
+    outs = pl.pallas_call(
         functools.partial(
-            _flash_kernel, block_k=block_k, window=window, seq_len=s
+            _flash_kernel, block_k=block_k, window=window, seq_len=s,
+            with_lse=with_lse,
         ),
         grid=grid,
         in_specs=[
@@ -156,8 +179,8 @@ def _flash_forward(
             pl.BlockSpec((None, s_pad, d), lambda b_, i: (b_, 0, 0)),
             pl.BlockSpec((None, s_pad, d), lambda b_, i: (b_, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((None, block_q, d), lambda b_, i: (b_, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, s_pad, d), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
@@ -168,24 +191,223 @@ def _flash_forward(
         ),
         interpret=interpret,
     )(qf, kf, vf)
-    out = out.reshape(b, h, s_pad, d)
+    out = outs[0].reshape(b, h, s_pad, d)
     if s_pad != s:
         out = out[:, :, :s, :]
+    if with_lse:
+        return out, outs[1]  # lse stays padded+flat for the bwd kernels
     return out
 
 
+def _bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref, dq_ref,
+    *, block_k: int, window, seq_len: int,
+):
+    """dQ for one (batch*head, q-block): loop kv blocks on/below the diagonal.
+
+    ds = p * (dO·Vᵀ − rowsum(dO∘O)); dQ = scale · ds·K.
+    """
+    block_q, d = q_ref.shape
+    qi = pl.program_id(1)
+    q_offset = qi * block_q
+    scale = 1.0 / math.sqrt(d)
+
+    q = q_ref[...].astype(jnp.float32)
+    do = do_ref[...].astype(jnp.float32)
+    lse = lse_ref[:, :1]
+    dsum = dsum_ref[:, :1]
+    row_ids = q_offset + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+    num_kv_blocks = jax.lax.div(q_offset + block_q - 1, block_k) + 1
+
+    def body(j, dq_acc):
+        k_blk = k_ref[pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        col_ids = j * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        mask = jnp.logical_or(col_ids > row_ids, col_ids >= seq_len)
+        if window is not None:
+            mask = jnp.logical_or(mask, row_ids - col_ids >= window)
+        p = jnp.where(mask, 0.0, jnp.exp(s - lse))
+        dp = jax.lax.dot_general(
+            do, v_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - dsum)
+        return dq_acc + jax.lax.dot_general(
+            ds, k_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    dq = jax.lax.fori_loop(
+        0, num_kv_blocks, body, jnp.zeros((block_q, d), jnp.float32)
+    )
+    dq_ref[...] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref, dk_ref, dv_ref,
+    *, block_q: int, window, seq_len: int,
+):
+    """dK, dV for one (batch*head, kv-block): loop q blocks on/above the
+    diagonal. dV = pᵀ·dO; dK = scale · dsᵀ·Q."""
+    block_k, d = k_ref.shape
+    kj = pl.program_id(1)
+    k_offset = kj * block_k
+    scale = 1.0 / math.sqrt(d)
+    s_pad = q_ref.shape[0]
+    num_q_blocks = s_pad // block_q
+
+    k = k_ref[...].astype(jnp.float32)
+    v = v_ref[...].astype(jnp.float32)
+    col_ids = k_offset + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+    start_i = jax.lax.div(k_offset, block_q)
+
+    def body(i, carry):
+        dk_acc, dv_acc = carry
+        q_blk = q_ref[pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        do_blk = do_ref[pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[pl.ds(i * block_q, block_q), :1]
+        dsum = dsum_ref[pl.ds(i * block_q, block_q), :1]
+        s = jax.lax.dot_general(
+            q_blk, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        row_ids = i * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0
+        )
+        mask = jnp.logical_or(col_ids > row_ids, col_ids >= seq_len)
+        if window is not None:
+            mask = jnp.logical_or(mask, row_ids - col_ids >= window)
+        p = jnp.where(mask, 0.0, jnp.exp(s - lse))
+        dv_acc = dv_acc + jax.lax.dot_general(
+            p, do_blk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do_blk, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - dsum)
+        dk_acc = dk_acc + jax.lax.dot_general(
+            ds, q_blk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return dk_acc, dv_acc
+
+    zero = jnp.zeros((block_k, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(start_i, num_q_blocks, body, (zero, zero))
+    dk_ref[...] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[...] = dv.astype(dv_ref.dtype)
+
+
+def _flash_backward(
+    q, k, v, out, lse_flat, g, window, block_q, block_k, interpret
+):
+    b, h, s, d = q.shape
+    block_q = min(block_q, s)
+    block_k = min(block_k, s)
+    s_pad = lse_flat.shape[1]
+    bh = b * h
+
+    # rowsum(dO ∘ O), lane-replicated like lse
+    dsum = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    dsum = _pad_seq(dsum[..., None], s_pad).reshape(bh, s_pad, 1)
+    dsum = jnp.broadcast_to(dsum, (bh, s_pad, LSE_LANES))
+
+    qf = _pad_seq(q, s_pad).reshape(bh, s_pad, d)
+    kf = _pad_seq(k, s_pad).reshape(bh, s_pad, d)
+    vf = _pad_seq(v, s_pad).reshape(bh, s_pad, d)
+    # padded do rows are zero -> padded rows contribute nothing to dk/dv
+    gf = _pad_seq(g, s_pad).reshape(bh, s_pad, d)
+
+    common = dict(
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )
+    dq = pl.pallas_call(
+        functools.partial(
+            _bwd_dq_kernel, block_k=block_k, window=window, seq_len=s
+        ),
+        grid=(bh, s_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda b_, i: (b_, i, 0)),
+            pl.BlockSpec((None, s_pad, d), lambda b_, i: (b_, 0, 0)),
+            pl.BlockSpec((None, s_pad, d), lambda b_, i: (b_, 0, 0)),
+            pl.BlockSpec((None, block_q, d), lambda b_, i: (b_, i, 0)),
+            pl.BlockSpec((None, block_q, LSE_LANES), lambda b_, i: (b_, i, 0)),
+            pl.BlockSpec((None, block_q, LSE_LANES), lambda b_, i: (b_, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, d), lambda b_, i: (b_, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, s_pad, d), q.dtype),
+        **common,
+    )(qf, kf, vf, gf, lse_flat, dsum)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_dkv_kernel, block_q=block_q, window=window, seq_len=s
+        ),
+        grid=(bh, s_pad // block_k),
+        in_specs=[
+            pl.BlockSpec((None, s_pad, d), lambda b_, j: (b_, 0, 0)),
+            pl.BlockSpec((None, block_k, d), lambda b_, j: (b_, j, 0)),
+            pl.BlockSpec((None, block_k, d), lambda b_, j: (b_, j, 0)),
+            pl.BlockSpec((None, s_pad, d), lambda b_, j: (b_, 0, 0)),
+            pl.BlockSpec((None, s_pad, LSE_LANES), lambda b_, j: (b_, 0, 0)),
+            pl.BlockSpec((None, s_pad, LSE_LANES), lambda b_, j: (b_, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, block_k, d), lambda b_, j: (b_, j, 0)),
+            pl.BlockSpec((None, block_k, d), lambda b_, j: (b_, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, s_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, s_pad, d), q.dtype),
+        ],
+        **common,
+    )(qf, kf, vf, gf, lse_flat, dsum)
+
+    def unflat(x):
+        x = x.reshape(b, h, s_pad, d)
+        return x[:, :, :s, :] if s_pad != s else x
+
+    return unflat(dq), unflat(dk), unflat(dv)
+
+
+# Backward implementation: "pallas" (fused dq/dkv kernels, no [S, S]
+# transients) or "xla" (rematerialize through the reference impl — measured
+# faster on v5e at dalle_coco shapes, see ops docs). Module-level switch so
+# deployments can pick per-platform.
+BACKWARD_IMPL = "pallas"
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _flash_attention(q, k, v, window, block_q, block_k, interpret, _tag):
+def _flash_attention(q, k, v, window, block_q, block_k, interpret, bwd_impl):
     return _flash_forward(q, k, v, window, block_q, block_k, interpret)
 
 
-def _flash_fwd(q, k, v, window, block_q, block_k, interpret, _tag):
+def _flash_fwd(q, k, v, window, block_q, block_k, interpret, bwd_impl):
+    if bwd_impl == "pallas":
+        out, lse = _flash_forward(
+            q, k, v, window, block_q, block_k, interpret, with_lse=True
+        )
+        return out, (q, k, v, out, lse)
     out = _flash_forward(q, k, v, window, block_q, block_k, interpret)
-    return out, (q, k, v)
+    return out, (q, k, v, None, None)
 
 
-def _flash_bwd(window, block_q, block_k, interpret, _tag, res, g):
-    q, k, v = res
+def _flash_bwd(window, block_q, block_k, interpret, bwd_impl, res, g):
+    q, k, v, out, lse = res
+    if bwd_impl == "pallas":
+        return _flash_backward(
+            q, k, v, out, lse, g, window, block_q, block_k, interpret
+        )
     # Rematerialize attention with the XLA implementation and differentiate
     # it — no [S, S] tensors were saved by the forward.
     _, vjp = jax.vjp(
@@ -226,7 +448,7 @@ def causal_attention(
     d = q.shape[-1]
     if use_pallas and d % 128 == 0:
         return _flash_attention(
-            q, k, v, window, block_q, block_k, interpret, "causal"
+            q, k, v, window, block_q, block_k, interpret, BACKWARD_IMPL
         )
     return attention_reference(q, k, v, True, window)
 

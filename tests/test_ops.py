@@ -124,3 +124,29 @@ class TestAttention:
         gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
         for a, b_ in zip(gf, gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4)
+
+    def test_pallas_backward_multiblock_and_window(self):
+        """Fused dq/dkv kernels vs XLA grads across block boundaries and with
+        a local window, including a non-block-multiple sequence."""
+        for seq, window in [(320, None), (256, 64)]:
+            b, h, d = 2, 2, 128
+            ks = jax.random.split(jax.random.PRNGKey(11), 4)
+            q, k, v = (jax.random.normal(kk, (b, h, seq, d), jnp.float32) for kk in ks[:3])
+            g = jax.random.normal(ks[3], (b, h, seq, d), jnp.float32)
+
+            def loss_flash(q_, k_, v_):
+                return (causal_attention(
+                    q_, k_, v_, window=window, block_q=128, block_k=128,
+                    use_pallas=True, interpret=True,
+                ) * g).sum()
+
+            def loss_ref(q_, k_, v_):
+                return (attention_reference(q_, k_, v_, True, window) * g).sum()
+
+            gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+            gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+            for a, b_ in zip(gf, gr):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b_), atol=5e-4,
+                    err_msg=f"seq={seq} window={window}",
+                )
