@@ -1,0 +1,57 @@
+"""Multi-host runtime setup.
+
+The reference reached pods through TPUEstimator's cluster resolver + gRPC
+control plane (train_dalle.py:51-55) and BROADCAST infeed. The JAX
+equivalent is ``jax.distributed.initialize`` — one process per host, DCN for
+the control plane, ICI for collectives — plus per-host data sharding
+(data/pipeline.py handles that via jax.process_index()).
+
+Also hosts the profiler endpoint (SURVEY §5: the reference had no tracing;
+here ``jax.profiler`` is one flag away).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+logger = logging.getLogger(__name__)
+
+
+def maybe_initialize_distributed():
+    """Initialize jax.distributed when running under a multi-host launcher.
+
+    No-op on a single host. Honors the standard JAX env vars
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID) or TPU
+    pod metadata autodetection.
+    """
+    import jax
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS"
+    ):
+        jax.distributed.initialize()
+        logger.info(
+            "jax.distributed initialized: process %d/%d, %d local / %d global devices",
+            jax.process_index(), jax.process_count(),
+            jax.local_device_count(), jax.device_count(),
+        )
+        return True
+    return False
+
+
+def maybe_start_profiler_server(params) -> bool:
+    """Start the jax profiler server when ``profiler_port`` is configured.
+
+    Connect with TensorBoard's profile plugin or
+    ``jax.profiler.trace`` pointing at the port for on-demand traces of a
+    live training job.
+    """
+    import jax
+
+    port = params.get("profiler_port")
+    if not port:
+        return False
+    jax.profiler.start_server(int(port))
+    logger.info("jax profiler server listening on :%d", port)
+    return True

@@ -76,7 +76,14 @@ def _ckpt_dir(model_dir: str) -> str:
 
 def main():
     args = parse_args()
+    from dalle_mtf_tpu.utils.distributed import (
+        maybe_initialize_distributed,
+        maybe_start_profiler_server,
+    )
+
+    maybe_initialize_distributed()
     params = fetch_model_params(args.model)
+    maybe_start_profiler_server(params)
     assert params["model_type"] == "dalle", f"config {args.model} is not a dalle config"
     assert params["vae_params"] is not None, "vae model config must be supplied (vae_model key)"
     setup_logging(params["config_name"] or args.model)

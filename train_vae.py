@@ -40,7 +40,14 @@ def parse_args():
 
 def main():
     args = parse_args()
+    from dalle_mtf_tpu.utils.distributed import (
+        maybe_initialize_distributed,
+        maybe_start_profiler_server,
+    )
+
+    maybe_initialize_distributed()
     params = fetch_model_params(args.model)
+    maybe_start_profiler_server(params)
     assert params["model_type"] in (None, "vae"), f"config {args.model} is not a vae config"
     logger = setup_logging(params["config_name"] or args.model)
 
