@@ -310,7 +310,13 @@ class Trainer:
         p = self.params
         train_steps = p["train_steps"]
         steps_per_ckpt = p.get("steps_per_checkpoint") or 1000
-        log_every = p.get("log_every") or min(100, steps_per_ckpt)
+        # "iterations" was the reference's device-loop length and therefore
+        # its step-rate log cadence (log_step_count_steps=iterations,
+        # train_dalle.py:62); honored here as the default log cadence.
+        log_every = (
+            p.get("log_every")
+            or min(p.get("iterations") or 100, steps_per_ckpt)
+        )
         eval_steps = p.get("eval_steps") or 0
 
         state = self.init_state(rng)
