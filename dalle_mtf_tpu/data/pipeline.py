@@ -92,7 +92,7 @@ class _Pipeline:
         batch_size: int,
         shuffle: bool,
         seed: int = 0,
-        num_workers: int = 8,
+        num_workers: int = 16,
         prefetch: int = 4,
         repeat: bool = True,
     ):
