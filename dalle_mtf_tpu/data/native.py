@@ -1,0 +1,142 @@
+"""ctypes bindings for the native data-path library (native/dataloader.cpp).
+
+Provides hardware-crc32c TFRecord reading and fused JPEG
+decode+crop+resize+normalize. Built lazily with g++ on first use and cached;
+every entry point has a pure-Python fallback (tfrecord.py / pipeline.py), so
+the framework works without a toolchain — just slower on the host side.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_LIB = None
+_LIB_LOCK = threading.Lock()
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+)
+_SO_PATH = os.path.join(_NATIVE_DIR, "libdalle_data.so")
+
+
+def _build() -> bool:
+    src = os.path.join(_NATIVE_DIR, "dataloader.cpp")
+    if not os.path.isfile(src):
+        return False
+    cmd = [
+        "g++", "-O3", "-march=x86-64-v2", "-shared", "-fPIC",
+        src, "-o", _SO_PATH, "-ljpeg",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception as e:
+        logger.warning("native dataloader build failed: %s", e)
+        return False
+
+
+def get_lib():
+    """Load (building if needed) the native library; None if unavailable."""
+    global _LIB
+    with _LIB_LOCK:
+        if _LIB is not None:
+            return _LIB if _LIB is not False else None
+        if not os.path.isfile(_SO_PATH) or (
+            os.path.isfile(os.path.join(_NATIVE_DIR, "dataloader.cpp"))
+            and os.path.getmtime(_SO_PATH)
+            < os.path.getmtime(os.path.join(_NATIVE_DIR, "dataloader.cpp"))
+        ):
+            if not _build():
+                _LIB = False
+                return None
+        try:
+            lib = ctypes.CDLL(_SO_PATH)
+        except OSError as e:
+            logger.warning("native dataloader load failed: %s", e)
+            _LIB = False
+            return None
+        lib.dmt_crc32c.restype = ctypes.c_uint32
+        lib.dmt_crc32c.argtypes = [ctypes.c_char_p, ctypes.c_uint64]
+        lib.dmt_crc32c_masked.restype = ctypes.c_uint32
+        lib.dmt_crc32c_masked.argtypes = [ctypes.c_char_p, ctypes.c_uint64]
+        lib.dmt_tfr_open.restype = ctypes.c_void_p
+        lib.dmt_tfr_open.argtypes = [ctypes.c_char_p]
+        lib.dmt_tfr_next.restype = ctypes.c_int64
+        lib.dmt_tfr_next.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int,
+        ]
+        lib.dmt_tfr_close.restype = None
+        lib.dmt_tfr_close.argtypes = [ctypes.c_void_p]
+        lib.dmt_decode_jpeg.restype = ctypes.c_int
+        lib.dmt_decode_jpeg.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_uint64,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        _LIB = lib
+        return lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def crc32c(data: bytes) -> int:
+    lib = get_lib()
+    if lib is None:
+        from dalle_mtf_tpu.data import tfrecord  # noqa: PLC0415
+
+        return tfrecord.crc32c(data)
+    return lib.dmt_crc32c(data, len(data))
+
+
+def read_tfrecord_file(path: str, verify_crc: bool = False):
+    """Native streaming TFRecord reader; yields bytes records."""
+    lib = get_lib()
+    if lib is None:
+        from dalle_mtf_tpu.data import tfrecord  # noqa: PLC0415
+
+        yield from tfrecord.read_tfrecord_file(path, verify_crc)
+        return
+    h = lib.dmt_tfr_open(path.encode())
+    if not h:
+        raise IOError(f"cannot open {path}")
+    try:
+        buf = ctypes.POINTER(ctypes.c_uint8)()
+        while True:
+            n = lib.dmt_tfr_next(h, ctypes.byref(buf), 1 if verify_crc else 0)
+            if n == -1:
+                return
+            if n < 0:
+                raise IOError(f"corrupt tfrecord in {path}")
+            yield ctypes.string_at(buf, n)
+    finally:
+        lib.dmt_tfr_close(h)
+
+
+def decode_img(data: bytes, size: int, channels: int = 3) -> np.ndarray | None:
+    """Fused decode+center-crop+resize+normalize. None if native unavailable
+    or the payload isn't a decodable JPEG (caller falls back to PIL)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty((size, size, channels), np.float32)
+    rc = lib.dmt_decode_jpeg(
+        data, len(data), size, channels,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if rc != 0:
+        return None
+    return out

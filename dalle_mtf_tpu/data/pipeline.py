@@ -186,19 +186,39 @@ class _Pipeline:
             yield item
 
 
-def _shard_files(files: list[str], shard: tuple[int, int] | None) -> list[str]:
-    if shard is None:
-        try:
-            import jax  # noqa: PLC0415
+def _resolve_shard(shard: tuple[int, int] | None) -> tuple[int, int]:
+    if shard is not None:
+        return shard
+    try:
+        import jax  # noqa: PLC0415
 
-            shard = (jax.process_index(), jax.process_count())
-        except Exception:  # pragma: no cover
-            shard = (0, 1)
+        return (jax.process_index(), jax.process_count())
+    except Exception:  # pragma: no cover
+        return (0, 1)
+
+
+def _shard_files(files: list[str], shard: tuple[int, int]) -> list[str]:
     index, count = shard
     if count > 1:
         sharded = files[index::count]
         return sharded if sharded else files  # fewer files than hosts
     return files
+
+
+def _host_batch(global_batch: int, shard: tuple[int, int]) -> int:
+    """Per-host batch: each process feeds only its own devices' rows.
+
+    The reference broadcast one host's full-batch pipeline to all workers
+    (train_dalle.py:69); here every host decodes 1/process_count of the
+    global batch and the trainer assembles the global array
+    (jax.make_array_from_process_local_data).
+    """
+    count = shard[1]
+    if global_batch % count != 0:
+        raise ValueError(
+            f"global batch {global_batch} must divide by process count {count}"
+        )
+    return global_batch // count
 
 
 def vae_input_fn(
@@ -215,7 +235,8 @@ def vae_input_fn(
     path = ds["eval_path"] if eval else ds["train_path"]
     size = ds["image_size"]
     channels = params.get("n_channels") or 3
-    batch = params["eval_batch_size" if eval else "train_batch_size"]
+    shard = _resolve_shard(shard)
+    batch = _host_batch(params["eval_batch_size" if eval else "train_batch_size"], shard)
     files = _shard_files(list_files(path), shard)
 
     if ds.get("tfrecords"):
@@ -251,7 +272,8 @@ def dalle_input_fn(
     path = ds["eval_path"] if eval else ds["train_path"]
     size = ds["image_size"]
     channels = params.get("n_channels") or 3
-    batch = params["eval_batch_size" if eval else "train_batch_size"]
+    shard = _resolve_shard(shard)
+    batch = _host_batch(params["eval_batch_size" if eval else "train_batch_size"], shard)
     text_seq_len = params["text_seq_len"]
     padding_id = params.get("padding_id")
     if padding_id is None:

@@ -235,11 +235,15 @@ class DALLE:
             cfg.local_attention_radius if cfg.attention_type == "local" else None
         )
         if train and cfg.attention_dropout > 0.0:
-            # weight-dropout needs materialized scores; use the XLA path
+            # weight-dropout needs materialized scores; use the XLA path,
+            # which drops the softmax weights like mtf attention's
+            # dropout_rate arg (models.py:294-299)
             from dalle_mtf_tpu.ops.attention import attention_reference  # noqa: PLC0415
 
-            a = attention_reference(q, k, v, causal=True, window=window)
-            a = self._dropout(r_attn, a, cfg.attention_dropout, train)
+            a = attention_reference(
+                q, k, v, causal=True, window=window,
+                dropout_rate=cfg.attention_dropout, dropout_rng=r_attn,
+            )
         else:
             a = causal_attention(q, k, v, window=window)
         a = constrain(a, BATCH, HEADS, SEQ, KV)
@@ -458,7 +462,12 @@ class DALLE:
             v_cache = jax.lax.dynamic_update_slice(
                 v_cache, v_new.astype(v_cache.dtype), (0, 0, position, 0)
             )
-            a = decode_attention(q, k_cache, v_cache, position)
+            window = (
+                cfg.local_attention_radius
+                if cfg.attention_type == "local"
+                else None
+            )
+            a = decode_attention(q, k_cache, v_cache, position, window=window)
             a = jnp.einsum("bhsd,hde->bse", a, p["wo"].astype(dtype)) + p["o_b"].astype(dtype)
             x_ = x_ + a
             m_in = self._layer_norm(x_, p["ln2_g"], p["ln2_b"])

@@ -62,7 +62,7 @@ class VAEConfig:
             convblocks = tuple((1, hid) for _ in range(n))
         stack_factor = params.get("stack_factor") or 1
         return cls(
-            num_tokens=params["num_tokens"],
+            num_tokens=params.get("num_tokens"),
             image_size=params["dataset"]["image_size"],
             convblocks=convblocks,
             n_channels=params.get("n_channels") or 3,

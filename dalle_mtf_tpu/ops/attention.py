@@ -42,11 +42,15 @@ def attention_reference(
     v: jax.Array,
     causal: bool = True,
     window: int | None = None,
+    dropout_rate: float = 0.0,
+    dropout_rng: jax.Array | None = None,
 ) -> jax.Array:
     """XLA reference attention. q,k,v: [B, H, S, D] -> [B, H, S, D].
 
     Semantics match mtf attention with the additive causal mask
-    (models.py:221-227): scores scaled by D^-0.5, mask adds -1e10.
+    (models.py:221-227): scores scaled by D^-0.5, mask adds -1e10;
+    ``dropout_rate`` drops attention *weights* (mtf attention's
+    dropout_rate arg, models.py:294-299) with inverted scaling.
     """
     *_, s_q, d = q.shape
     s_k = k.shape[-2]
@@ -63,6 +67,10 @@ def attention_reference(
         mask = jnp.where(i - j >= window, NEG_INF, mask)
     scores = scores + mask
     weights = jax.nn.softmax(scores, axis=-1)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = 1.0 - dropout_rate
+        keep_mask = jax.random.bernoulli(dropout_rng, keep, weights.shape)
+        weights = jnp.where(keep_mask, weights / keep, 0.0)
     out = jnp.einsum(
         "bhqk,bhkd->bhqd", weights.astype(v.dtype), v,
         preferred_element_type=jnp.float32,
@@ -475,14 +483,20 @@ def causal_attention(
 
 
 def decode_attention(
-    q: jax.Array, k_cache: jax.Array, v_cache: jax.Array, position: jax.Array
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    position: jax.Array,
+    window: int | None = None,
 ) -> jax.Array:
     """Single-position attention against a KV cache.
 
     q: [B, H, 1, D]; k_cache/v_cache: [B, H, S, D] with valid entries in
-    [0, position]. Completes the incremental-inference path the reference
-    only scaffolded (models.py:246-254). Small enough that XLA's fused
-    matmul+softmax is at speed-of-light; no kernel needed.
+    [0, position]. ``window`` applies the same local band as training-time
+    attention so local models decode from the distribution they trained on.
+    Completes the incremental-inference path the reference only scaffolded
+    (models.py:246-254). Small enough that XLA's fused matmul+softmax is at
+    speed-of-light; no kernel needed.
     """
     d = q.shape[-1]
     scale = 1.0 / math.sqrt(d)
@@ -490,7 +504,10 @@ def decode_attention(
         "bhqd,bhkd->bhqk", q, k_cache, preferred_element_type=jnp.float32
     ) * scale
     s = k_cache.shape[-2]
-    mask = jnp.arange(s)[None, None, None, :] > position
+    j = jnp.arange(s)[None, None, None, :]
+    mask = j > position
+    if window is not None:
+        mask = jnp.logical_or(mask, position - j >= window)
     scores = jnp.where(mask, NEG_INF, scores)
     weights = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum(

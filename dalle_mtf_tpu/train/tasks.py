@@ -63,8 +63,19 @@ def make_dalle_task(params: Mapping[str, Any], constrain=None):
     """
     vae_cfg = VAEConfig.from_params(params["vae_params"])
     cfg = DalleConfig.from_params(params, vae_cfg.image_seq_len)
+    # Hard guard: VAE token ids are offset into [text_vocab, text_vocab +
+    # image_vocab); a mismatch silently clamps 3/4 of image tokens onto the
+    # EOS embedding row. (The reference ships exactly this latent bug:
+    # its dalle_coco.json says image_vocab_size 512 against vae_coco's
+    # num_tokens 2048.)
+    assert cfg.image_vocab_size == vae_cfg.num_tokens, (
+        f"image_vocab_size ({cfg.image_vocab_size}) must equal the VAE's "
+        f"num_tokens ({vae_cfg.num_tokens}) — fix the dalle config"
+    )
     dalle = DALLE(cfg)
     vae = DiscreteVAE(vae_cfg)
+    z_loss = params.get("z_loss") or 0.0
+    fused_xent = bool(params.get("fused_xent"))
 
     def tokens_of(frozen_vae, batch):
         img_tokens = vae.encode_tokens(frozen_vae, batch["image"])
@@ -75,12 +86,18 @@ def make_dalle_task(params: Mapping[str, Any], constrain=None):
 
     def train_loss(p, frozen_vae, batch, rng, step):
         tokens = tokens_of(frozen_vae, batch)
-        loss, _ = dalle.loss(p, tokens, rng, train=True, constrain=constrain)
+        loss, _ = dalle.loss(
+            p, tokens, rng, train=True, constrain=constrain,
+            z_loss=z_loss, fused_xent=fused_xent,
+        )
         return loss, {}
 
     def eval_loss(p, frozen_vae, batch, rng, step):
         tokens = tokens_of(frozen_vae, batch)
-        loss, _ = dalle.loss(p, tokens, rng, train=False, constrain=constrain)
+        loss, _ = dalle.loss(
+            p, tokens, rng, train=False, constrain=constrain,
+            z_loss=z_loss, fused_xent=fused_xent,
+        )
         return loss, {}
 
     return dalle, vae, dalle.init, train_loss, eval_loss, dalle.logical_axes()

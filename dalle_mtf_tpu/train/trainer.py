@@ -234,17 +234,35 @@ class Trainer:
 
         return jax.jit(eval_fn)
 
+    def _put_batch(self, batch):
+        """Place a host batch onto the mesh.
+
+        Single process: plain device_put. Multi-host: each process holds
+        1/process_count of the global batch (data/pipeline.py feeds per-host
+        shards) and the global array is assembled without any cross-host
+        transfer — the improvement over the reference's BROADCAST input
+        (train_dalle.py:69).
+        """
+        if jax.process_count() == 1:
+            return jax.device_put(batch, self.batch_sharding)
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                self.batch_sharding, np.asarray(x)
+            ),
+            batch,
+        )
+
     def train_step(self, state, batch, rng):
         if self._train_step is None:
             self._train_step = self._build_train_step()
-        batch = jax.device_put(batch, self.batch_sharding)
+        batch = self._put_batch(batch)
         with self.mesh:
             return self._train_step(state, self.frozen_params, batch, rng)
 
     def eval_step(self, state, batch, rng):
         if self._eval_step is None:
             self._eval_step = self._build_eval_step()
-        batch = jax.device_put(batch, self.batch_sharding)
+        batch = self._put_batch(batch)
         with self.mesh:
             return self._eval_step(state, self.frozen_params, batch, rng)
 

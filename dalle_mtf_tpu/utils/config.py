@@ -99,12 +99,12 @@ def image_seq_len(vae_params: Mapping[str, Any]) -> int:
     """Number of image tokens the VAE produces for one image.
 
     image_seq_len = (H / 2^num_blocks)^2 / stack_factor^2
-    (reference: src/model_fns.py:68).
+    (reference: src/model_fns.py:68). Delegates to VAEConfig so both
+    schemas (convblocks and mtf num_layers) resolve identically everywhere.
     """
-    h = vae_params["dataset"]["image_size"]
-    num_blocks = len(vae_params.get("convblocks") or [(3, 64), (3, 128), (3, 256)])
-    stack_factor = vae_params.get("stack_factor") or 1
-    return (h // (2 ** num_blocks)) ** 2 // (stack_factor ** 2)
+    from dalle_mtf_tpu.models.vae import VAEConfig  # noqa: PLC0415
+
+    return VAEConfig.from_params(vae_params).image_seq_len
 
 
 def iter_flat(params: Mapping[str, Any], prefix: str = "") -> Iterator[tuple[str, Any]]:

@@ -65,3 +65,35 @@ def test_generate_images_end_to_end():
     imgs = generate_images(model, dp, vae, vp, text, jax.random.PRNGKey(3), top_k=8)
     assert imgs.shape == (2, 16, 16, 3)
     assert np.isfinite(np.asarray(imgs)).all()
+
+
+def test_local_attention_incremental_matches_parallel():
+    """decode_step must apply the same local window as training attention
+    (regression: decode used to attend globally for local models)."""
+    cfg = DalleConfig(
+        n_embd=32, text_vocab_size=40, image_vocab_size=32,
+        text_seq_len=8, image_seq_len=16, n_layers=2, n_heads=2,
+        attention_type="local", local_attention_radius=4,
+    )
+    model = DALLE(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    tokens = jax.random.randint(
+        jax.random.PRNGKey(1), (2, cfg.total_seq_len), 0, cfg.total_tokens
+    )
+    full_logits = model.forward(params, tokens, train=False)
+
+    cache = model.init_cache(batch=2)
+    logits_p, cache = model.prefill(params, tokens[:, : cfg.text_seq_len], cache)
+    np.testing.assert_allclose(
+        np.asarray(logits_p),
+        np.asarray(full_logits[:, cfg.text_seq_len - 1]),
+        atol=2e-4,
+    )
+    for pos in range(cfg.text_seq_len, cfg.total_seq_len):
+        logits_i, cache = model.decode_step(
+            params, cache, tokens[:, pos], jnp.asarray(pos)
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits_i), np.asarray(full_logits[:, pos]),
+            atol=2e-4, err_msg=f"pos={pos}",
+        )

@@ -70,6 +70,10 @@ def main():
     # image summaries at every checkpoint — the reference's host_call wrote
     # input vs reconstruction images (model_fns_tf.py:68-78)
     summary_batch = next(train_iter)
+    # jit once; a fresh jax.jit per checkpoint would recompile every time
+    recon_fn = jax.jit(
+        vae.forward, static_argnames=("hard_gumbel", "train")
+    )
 
     def summary_fn(tr: Trainer, state, step):
         import jax.numpy as jnp
@@ -77,7 +81,7 @@ def main():
         from dalle_mtf_tpu.models.vae import temperature_schedule
 
         temp = temperature_schedule(params, jnp.asarray(step))
-        _loss, recon = jax.jit(vae.forward, static_argnames=("hard_gumbel", "train"))(
+        _loss, recon = recon_fn(
             state["params"], jnp.asarray(summary_batch["image"]),
             jax.random.PRNGKey(step), temperature=temp,
             hard_gumbel=True, train=False,
