@@ -29,7 +29,10 @@ def parse_args():
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", type=str, required=True)
     parser.add_argument("--text", type=str, required=True)
-    parser.add_argument("--n", type=int, default=1, help="images to generate")
+    parser.add_argument(
+        "--n", type=int, default=None,
+        help="images to generate (default: config predict_batch_size, else 1)",
+    )
     parser.add_argument("--out", type=str, default="samples")
     parser.add_argument("--temperature", type=float, default=1.0)
     parser.add_argument("--top_k", type=int, default=0)
@@ -58,12 +61,13 @@ def main():
     assert params["model_type"] == "dalle"
     setup_logging(params["config_name"] or args.model)
 
+    n = args.n if args.n is not None else (params["predict_batch_size"] or 1)
     tokenizer = get_tokenizer()
     params["padding_id"] = tokenizer.pad_token_id
     ids = pad_or_truncate(
         tokenizer.encode(args.text), params["text_seq_len"], tokenizer.pad_token_id
     )
-    text = jnp.asarray([ids] * args.n, jnp.int32)
+    text = jnp.asarray([ids] * n, jnp.int32)
 
     dalle, vae, _init, _loss, _eval, axes = make_dalle_task(params)
     dalle_params = load_dalle_params(params, dalle)
