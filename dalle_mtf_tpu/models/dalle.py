@@ -225,11 +225,13 @@ class DALLE:
         h, d = cfg.n_heads, cfg.head_dim
         r_attn, r_res1, r_res2 = jax.random.split(rng, 3)
 
+        from jax.ad_checkpoint import checkpoint_name  # noqa: PLC0415
+
         # --- attention
         a_in = self._layer_norm(x, p["ln1_g"], p["ln1_b"])
-        q = jnp.einsum("bse,ehd->bhsd", a_in, p["wq"].astype(dtype))
-        k = jnp.einsum("bse,ehd->bhsd", a_in, p["wk"].astype(dtype))
-        v = jnp.einsum("bse,ehd->bhsd", a_in, p["wv"].astype(dtype))
+        q = checkpoint_name(jnp.einsum("bse,ehd->bhsd", a_in, p["wq"].astype(dtype)), "qkv")
+        k = checkpoint_name(jnp.einsum("bse,ehd->bhsd", a_in, p["wk"].astype(dtype)), "qkv")
+        v = checkpoint_name(jnp.einsum("bse,ehd->bhsd", a_in, p["wv"].astype(dtype)), "qkv")
         q, k, v = (constrain(t, BATCH, HEADS, SEQ, KV) for t in (q, k, v))
         window = (
             cfg.local_attention_radius if cfg.attention_type == "local" else None
@@ -247,7 +249,9 @@ class DALLE:
         else:
             a = causal_attention(q, k, v, window=window)
         a = constrain(a, BATCH, HEADS, SEQ, KV)
-        a = jnp.einsum("bhsd,hde->bse", a, p["wo"].astype(dtype))
+        a = checkpoint_name(
+            jnp.einsum("bhsd,hde->bse", a, p["wo"].astype(dtype)), "attn_proj"
+        )
         a = a + p["o_b"].astype(dtype)
         a = self._dropout(r_res1, a, cfg.residual_dropout, train)
         x = x + a
@@ -258,7 +262,9 @@ class DALLE:
         hdn = jnp.einsum("bse,ei->bsi", m_in, p["w_mlp1"].astype(dtype))
         hdn = jax.nn.relu(hdn + p["b_mlp1"].astype(dtype))
         hdn = constrain(hdn, BATCH, SEQ, INTERMEDIATE)
-        m = jnp.einsum("bsi,ie->bse", hdn, p["w_mlp2"].astype(dtype))
+        m = checkpoint_name(
+            jnp.einsum("bsi,ie->bse", hdn, p["w_mlp2"].astype(dtype)), "mlp2"
+        )
         m = m + p["b_mlp2"].astype(dtype)
         m = self._dropout(r_res2, m, cfg.residual_dropout, train)
         x = x + m
@@ -297,7 +303,15 @@ class DALLE:
             return self._block(p, x_, r, train, constrain), None
 
         if cfg.recompute_grad and train:
-            policy = getattr(jax.checkpoint_policies, cfg.remat_policy)
+            if cfg.remat_policy == "dots_except_mlp1":
+                # save projection outputs but recompute the 4x-wide mlp1
+                # hidden (the single biggest residual: [L, B, S, 4E]) — one
+                # cheap matmul+relu re-run buys ~40% of the remat memory back
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "qkv", "attn_proj", "mlp2"
+                )
+            else:
+                policy = getattr(jax.checkpoint_policies, cfg.remat_policy)
             body = jax.checkpoint(body, policy=policy)
         x, _ = jax.lax.scan(body, x, (params["layers"], layer_rngs))
 
