@@ -217,6 +217,48 @@ class DALLE:
         mask = jax.random.bernoulli(rng, keep, x.shape)
         return jnp.where(mask, x / keep, jnp.zeros_like(x))
 
+    @property
+    def _window(self):
+        return (
+            self.cfg.local_attention_radius
+            if self.cfg.attention_type == "local"
+            else None
+        )
+
+    def _qkv(self, p, a_in):
+        """[B, S, E] -> q, k, v [B, H, S, D] (shared by train/prefill/decode)."""
+        dtype = self.cfg.policy.compute_dtype
+        q = jnp.einsum("bse,ehd->bhsd", a_in, p["wq"].astype(dtype))
+        k = jnp.einsum("bse,ehd->bhsd", a_in, p["wk"].astype(dtype))
+        v = jnp.einsum("bse,ehd->bhsd", a_in, p["wv"].astype(dtype))
+        return q, k, v
+
+    def _attn_out(self, p, a):
+        dtype = self.cfg.policy.compute_dtype
+        return jnp.einsum("bhsd,hde->bse", a, p["wo"].astype(dtype)) + p[
+            "o_b"
+        ].astype(dtype)
+
+    def _mlp(self, p, m_in):
+        dtype = self.cfg.policy.compute_dtype
+        hdn = jax.nn.relu(
+            jnp.einsum("bse,ei->bsi", m_in, p["w_mlp1"].astype(dtype))
+            + p["b_mlp1"].astype(dtype)
+        )
+        return jnp.einsum("bsi,ie->bse", hdn, p["w_mlp2"].astype(dtype)) + p[
+            "b_mlp2"
+        ].astype(dtype)
+
+    def _last_logits(self, params, x_last):
+        """[B, E] final-LN'd hidden -> fp32 logits [B, vocab]."""
+        return (
+            jnp.einsum(
+                "be,ev->bv", x_last.astype(jnp.float32), params["w_out"],
+                preferred_element_type=jnp.float32,
+            )
+            + params["b_out"]
+        )
+
     def _block(self, p, x, rng, train: bool, constrain):
         """One pre-LN transformer block (reference models.py:326-335)."""
         cfg = self.cfg
@@ -229,13 +271,9 @@ class DALLE:
 
         # --- attention
         a_in = self._layer_norm(x, p["ln1_g"], p["ln1_b"])
-        q = checkpoint_name(jnp.einsum("bse,ehd->bhsd", a_in, p["wq"].astype(dtype)), "qkv")
-        k = checkpoint_name(jnp.einsum("bse,ehd->bhsd", a_in, p["wk"].astype(dtype)), "qkv")
-        v = checkpoint_name(jnp.einsum("bse,ehd->bhsd", a_in, p["wv"].astype(dtype)), "qkv")
+        q, k, v = (checkpoint_name(t, "qkv") for t in self._qkv(p, a_in))
         q, k, v = (constrain(t, BATCH, HEADS, SEQ, KV) for t in (q, k, v))
-        window = (
-            cfg.local_attention_radius if cfg.attention_type == "local" else None
-        )
+        window = self._window
         if train and cfg.attention_dropout > 0.0:
             # weight-dropout needs materialized scores; use the XLA path,
             # which drops the softmax weights like mtf attention's
@@ -249,23 +287,14 @@ class DALLE:
         else:
             a = causal_attention(q, k, v, window=window)
         a = constrain(a, BATCH, HEADS, SEQ, KV)
-        a = checkpoint_name(
-            jnp.einsum("bhsd,hde->bse", a, p["wo"].astype(dtype)), "attn_proj"
-        )
-        a = a + p["o_b"].astype(dtype)
+        a = checkpoint_name(self._attn_out(p, a), "attn_proj")
         a = self._dropout(r_res1, a, cfg.residual_dropout, train)
         x = x + a
         x = constrain(x, BATCH, SEQ, EMBED)
 
         # --- mlp (4x expansion, relu — reference models.py:317-333)
         m_in = self._layer_norm(x, p["ln2_g"], p["ln2_b"])
-        hdn = jnp.einsum("bse,ei->bsi", m_in, p["w_mlp1"].astype(dtype))
-        hdn = jax.nn.relu(hdn + p["b_mlp1"].astype(dtype))
-        hdn = constrain(hdn, BATCH, SEQ, INTERMEDIATE)
-        m = checkpoint_name(
-            jnp.einsum("bsi,ie->bse", hdn, p["w_mlp2"].astype(dtype)), "mlp2"
-        )
-        m = m + p["b_mlp2"].astype(dtype)
+        m = checkpoint_name(self._mlp(p, m_in), "mlp2")
         m = self._dropout(r_res2, m, cfg.residual_dropout, train)
         x = x + m
         return constrain(x, BATCH, SEQ, EMBED)
@@ -404,26 +433,13 @@ class DALLE:
         x = params["wte"].astype(dtype)[tokens] + params["wpe"].astype(dtype)[:s]
 
         def body(x_, scanned):
-            p, = scanned
+            (p,) = scanned
             a_in = self._layer_norm(x_, p["ln1_g"], p["ln1_b"])
-            q = jnp.einsum("bse,ehd->bhsd", a_in, p["wq"].astype(dtype))
-            k = jnp.einsum("bse,ehd->bhsd", a_in, p["wk"].astype(dtype))
-            v = jnp.einsum("bse,ehd->bhsd", a_in, p["wv"].astype(dtype))
-            window = (
-                cfg.local_attention_radius
-                if cfg.attention_type == "local"
-                else None
-            )
-            a = causal_attention(q, k, v, window=window)
-            a = jnp.einsum("bhsd,hde->bse", a, p["wo"].astype(dtype)) + p["o_b"].astype(dtype)
-            x_ = x_ + a
+            q, k, v = self._qkv(p, a_in)
+            a = causal_attention(q, k, v, window=self._window)
+            x_ = x_ + self._attn_out(p, a)
             m_in = self._layer_norm(x_, p["ln2_g"], p["ln2_b"])
-            hdn = jax.nn.relu(
-                jnp.einsum("bse,ei->bsi", m_in, p["w_mlp1"].astype(dtype))
-                + p["b_mlp1"].astype(dtype)
-            )
-            m = jnp.einsum("bsi,ie->bse", hdn, p["w_mlp2"].astype(dtype)) + p["b_mlp2"].astype(dtype)
-            x_ = x_ + m
+            x_ = x_ + self._mlp(p, m_in)
             return x_, (k, v)
 
         x, (ks, vs) = jax.lax.scan(body, x, (params["layers"],))
@@ -436,14 +452,7 @@ class DALLE:
             ),
         }
         x = self._layer_norm(x, params["lnf_g"], params["lnf_b"])
-        logits = (
-            jnp.einsum(
-                "be,ev->bv", x[:, -1].astype(jnp.float32), params["w_out"],
-                preferred_element_type=jnp.float32,
-            )
-            + params["b_out"]
-        )
-        return logits, cache
+        return self._last_logits(params, x[:, -1]), cache
 
     def decode_step(
         self, params, cache: dict, token: jax.Array, position: jax.Array
@@ -467,40 +476,22 @@ class DALLE:
         def body(x_, scanned):
             p, k_cache, v_cache = scanned
             a_in = self._layer_norm(x_, p["ln1_g"], p["ln1_b"])
-            q = jnp.einsum("bse,ehd->bhsd", a_in, p["wq"].astype(dtype))
-            k_new = jnp.einsum("bse,ehd->bhsd", a_in, p["wk"].astype(dtype))
-            v_new = jnp.einsum("bse,ehd->bhsd", a_in, p["wv"].astype(dtype))
+            q, k_new, v_new = self._qkv(p, a_in)
             k_cache = jax.lax.dynamic_update_slice(
                 k_cache, k_new.astype(k_cache.dtype), (0, 0, position, 0)
             )
             v_cache = jax.lax.dynamic_update_slice(
                 v_cache, v_new.astype(v_cache.dtype), (0, 0, position, 0)
             )
-            window = (
-                cfg.local_attention_radius
-                if cfg.attention_type == "local"
-                else None
+            a = decode_attention(
+                q, k_cache, v_cache, position, window=self._window
             )
-            a = decode_attention(q, k_cache, v_cache, position, window=window)
-            a = jnp.einsum("bhsd,hde->bse", a, p["wo"].astype(dtype)) + p["o_b"].astype(dtype)
-            x_ = x_ + a
+            x_ = x_ + self._attn_out(p, a)
             m_in = self._layer_norm(x_, p["ln2_g"], p["ln2_b"])
-            hdn = jax.nn.relu(
-                jnp.einsum("bse,ei->bsi", m_in, p["w_mlp1"].astype(dtype))
-                + p["b_mlp1"].astype(dtype)
-            )
-            m = jnp.einsum("bsi,ie->bse", hdn, p["w_mlp2"].astype(dtype)) + p["b_mlp2"].astype(dtype)
-            x_ = x_ + m
+            x_ = x_ + self._mlp(p, m_in)
             return x_, (k_cache, v_cache)
 
         x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], cache["k"], cache["v"]))
         cache = {"k": new_k, "v": new_v}
         x = self._layer_norm(x[:, 0], params["lnf_g"], params["lnf_b"])
-        logits = (
-            jnp.einsum(
-                "be,ev->bv", x.astype(jnp.float32), params["w_out"],
-                preferred_element_type=jnp.float32,
-            )
-            + params["b_out"]
-        )
-        return logits, cache
+        return self._last_logits(params, x), cache
