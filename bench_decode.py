@@ -33,6 +33,11 @@ def main():
     )
     model = DALLE(cfg)
     params = jax.jit(model.init)(jax.random.PRNGKey(0))
+    # serving configuration: int8 decode weights (quantize.py) — decoding is
+    # weight-bandwidth bound and this is ~20% faster than bf16 (BENCH.md)
+    from dalle_mtf_tpu.quantize import quantize_layers_int8
+
+    params = quantize_layers_int8(params)
     text = jax.random.randint(
         jax.random.PRNGKey(1), (1, cfg.text_seq_len), 0, cfg.text_vocab_size,
         jnp.int32,

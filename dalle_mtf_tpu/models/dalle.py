@@ -225,27 +225,37 @@ class DALLE:
             else None
         )
 
+    def _w(self, p, name):
+        """Weight getter: dequantizes int8 serving weights transparently
+        (quantize.py adds ``<name>_scale`` leaves; XLA fuses the multiply
+        into the reading matmul, so the bf16 copy never hits HBM)."""
+        dtype = self.cfg.policy.compute_dtype
+        w = p[name].astype(dtype)
+        scale = p.get(name + "_scale")
+        if scale is not None:
+            w = w * scale.astype(dtype)
+        return w
+
     def _qkv(self, p, a_in):
         """[B, S, E] -> q, k, v [B, H, S, D] (shared by train/prefill/decode)."""
-        dtype = self.cfg.policy.compute_dtype
-        q = jnp.einsum("bse,ehd->bhsd", a_in, p["wq"].astype(dtype))
-        k = jnp.einsum("bse,ehd->bhsd", a_in, p["wk"].astype(dtype))
-        v = jnp.einsum("bse,ehd->bhsd", a_in, p["wv"].astype(dtype))
+        q = jnp.einsum("bse,ehd->bhsd", a_in, self._w(p, "wq"))
+        k = jnp.einsum("bse,ehd->bhsd", a_in, self._w(p, "wk"))
+        v = jnp.einsum("bse,ehd->bhsd", a_in, self._w(p, "wv"))
         return q, k, v
 
     def _attn_out(self, p, a):
         dtype = self.cfg.policy.compute_dtype
-        return jnp.einsum("bhsd,hde->bse", a, p["wo"].astype(dtype)) + p[
+        return jnp.einsum("bhsd,hde->bse", a, self._w(p, "wo")) + p[
             "o_b"
         ].astype(dtype)
 
     def _mlp(self, p, m_in):
         dtype = self.cfg.policy.compute_dtype
         hdn = jax.nn.relu(
-            jnp.einsum("bse,ei->bsi", m_in, p["w_mlp1"].astype(dtype))
+            jnp.einsum("bse,ei->bsi", m_in, self._w(p, "w_mlp1"))
             + p["b_mlp1"].astype(dtype)
         )
-        return jnp.einsum("bsi,ie->bse", hdn, p["w_mlp2"].astype(dtype)) + p[
+        return jnp.einsum("bsi,ie->bse", hdn, self._w(p, "w_mlp2")) + p[
             "b_mlp2"
         ].astype(dtype)
 

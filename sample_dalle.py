@@ -37,6 +37,11 @@ def parse_args():
     parser.add_argument("--temperature", type=float, default=1.0)
     parser.add_argument("--top_k", type=int, default=0)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--int8", action="store_true",
+        help="quantize decode weights to int8 (~1.5x faster decode, "
+             "per-column scales)",
+    )
     return parser.parse_args()
 
 
@@ -77,9 +82,14 @@ def main():
     # this is a no-op). GSPMD propagates the sharding through prefill/decode.
     from dalle_mtf_tpu.parallel.mesh import build_mesh, parse_layout, shard_params
 
-    mesh = build_mesh(params.get("mesh_shape"))
-    rules = parse_layout(params.get("layout"))
-    dalle_params = shard_params(dalle_params, mesh, rules, axes)
+    if args.int8:
+        from dalle_mtf_tpu.quantize import quantize_layers_int8
+
+        dalle_params = quantize_layers_int8(dalle_params)
+    else:
+        mesh = build_mesh(params.get("mesh_shape"))
+        rules = parse_layout(params.get("layout"))
+        dalle_params = shard_params(dalle_params, mesh, rules, axes)
 
     t0 = time.time()
     imgs = generate_images(
