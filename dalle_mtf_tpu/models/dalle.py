@@ -66,6 +66,9 @@ class DalleConfig:
     residual_dropout: float = 0.0
     scale_type: str = "scale_by_depth"  # | "scale_by_in" (models.py:362-368)
     eos_token_id: int | None = None
+    # activation for the MLP: the reference's DALLE takes an activation_fn
+    # arg defaulting to relu (models.py:147, 178-180)
+    activation: str = "relu"  # | "gelu" | "swish"
     # remat policy when recompute_grad is on: "dots_saveable" keeps matmul
     # outputs (fastest, ~17% over full remat at dalle_coco scale on v5e);
     # "nothing_saveable" is full recompute (lowest memory, for the biggest
@@ -93,6 +96,7 @@ class DalleConfig:
             residual_dropout=params.get("residual_dropout") or 0.0,
             scale_type=params.get("scale_type") or "scale_by_depth",
             eos_token_id=params.get("eos_token_id"),
+            activation=params.get("activation") or "relu",
             remat_policy=params.get("remat_policy") or "dots_saveable",
         )
 
@@ -251,7 +255,8 @@ class DALLE:
 
     def _mlp(self, p, m_in):
         dtype = self.cfg.policy.compute_dtype
-        hdn = jax.nn.relu(
+        act = getattr(jax.nn, self.cfg.activation)
+        hdn = act(
             jnp.einsum("bse,ei->bsi", m_in, self._w(p, "w_mlp1"))
             + p["b_mlp1"].astype(dtype)
         )

@@ -140,3 +140,20 @@ class TestDalleTrains:
             if first is None:
                 first = float(loss)
         assert float(loss) < first * 0.5, (first, float(loss))
+
+
+def test_activation_config():
+    """activation_fn parity: the reference DALLE takes an activation_fn arg
+    (models.py:147); here it's the 'activation' config key."""
+    tokens = _tokens(jax.random.PRNGKey(1))
+    params = DALLE(CFG).init(jax.random.PRNGKey(0))
+    base = dict(
+        n_embd=64, text_vocab_size=50, image_vocab_size=20,
+        text_seq_len=8, image_seq_len=16, n_layers=2, n_heads=2,
+    )
+    l_relu = DALLE(DalleConfig(**base)).loss(params, tokens, train=False)[0]
+    l_gelu = DALLE(DalleConfig(**base, activation="gelu")).loss(
+        params, tokens, train=False
+    )[0]
+    assert float(l_relu) != float(l_gelu)
+    assert np.isfinite(float(l_gelu))
