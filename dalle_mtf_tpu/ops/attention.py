@@ -393,10 +393,12 @@ def _flash_backward(
 
 
 # Backward implementation: "pallas" (fused dq/dkv kernels, no [S, S]
-# transients) or "xla" (rematerialize through the reference impl — measured
-# faster on v5e at dalle_coco shapes, see ops docs). Module-level switch so
-# deployments can pick per-platform.
-BACKWARD_IMPL = "pallas"
+# transients — fastest measured on v5e) or "xla" (rematerialize through the
+# reference impl). Module-level switch, overridable per-deployment via the
+# DALLE_TPU_ATTN_BWD env var.
+import os as _os  # noqa: E402
+
+BACKWARD_IMPL = _os.environ.get("DALLE_TPU_ATTN_BWD", "pallas")
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
