@@ -130,6 +130,18 @@ def _normal(rng, shape, stddev):
 class DALLE:
     def __init__(self, config: DalleConfig):
         self.cfg = config
+        if config.attention_dropout > 0.0:
+            import logging  # noqa: PLC0415
+
+            logging.getLogger(__name__).warning(
+                "attention_dropout=%.3g materializes the full [S, S] softmax "
+                "weights (dense XLA path, ~%.1f MB fp32 per head-batch at "
+                "S=%d) instead of the flash kernel; prefer residual_dropout "
+                "at scale",
+                config.attention_dropout,
+                4 * config.total_seq_len**2 / 1e6,
+                config.total_seq_len,
+            )
 
     # ------------------------------------------------------------------ init
 
@@ -138,14 +150,22 @@ class DALLE:
         e, h, d = cfg.n_embd, cfg.n_heads, cfg.head_dim
         inter = 4 * e
         ks = jax.random.split(rng, 12)
-        # Residual-output projections get depth-scaled init
-        # (reference linear(scale=True), models.py:361-371).
+        # Init scaling mirrors the reference's linear() (models.py:361-371),
+        # which is used for mlp1 (fan_in=E), mlp2 (fan_in=4E, scale=True) and
+        # the logits projection (fan_in=E); attention projections use the mtf
+        # default init (attention_params_simple, models.py:235) and are never
+        # scaled. "scale_by_depth" scales only the scale=True call (mlp2) by
+        # 1/sqrt(n_layers); "scale_by_in" scales every linear() call by
+        # 1/sqrt(its own fan_in).
+        mlp1_std = logits_std = 0.02
         if cfg.scale_type == "scale_by_depth":
-            out_std = 0.02 / math.sqrt(cfg.n_layers)
+            mlp2_std = 0.02 / math.sqrt(cfg.n_layers)
         elif cfg.scale_type == "scale_by_in":
-            out_std = 0.02 / math.sqrt(e)
+            mlp1_std = 0.02 / math.sqrt(e)
+            mlp2_std = 0.02 / math.sqrt(4 * e)
+            logits_std = 0.02 / math.sqrt(e)
         else:
-            out_std = 0.02
+            mlp2_std = 0.02
         L = cfg.n_layers
 
         def stack(rng_, shape, stddev):
@@ -161,9 +181,9 @@ class DALLE:
             "o_b": jnp.zeros((L, e)),
             "ln2_g": jnp.ones((L, e)),
             "ln2_b": jnp.zeros((L, e)),
-            "w_mlp1": stack(ks[4], (e, inter), 0.02),
+            "w_mlp1": stack(ks[4], (e, inter), mlp1_std),
             "b_mlp1": jnp.zeros((L, inter)),
-            "w_mlp2": stack(ks[5], (inter, e), out_std),
+            "w_mlp2": stack(ks[5], (inter, e), mlp2_std),
             "b_mlp2": jnp.zeros((L, e)),
         }
         return {
@@ -172,7 +192,7 @@ class DALLE:
             "layers": layers,
             "lnf_g": jnp.ones((e,)),
             "lnf_b": jnp.zeros((e,)),
-            "w_out": _normal(ks[8], (e, cfg.total_tokens), 0.02),
+            "w_out": _normal(ks[8], (e, cfg.total_tokens), logits_std),
             "b_out": jnp.zeros((cfg.total_tokens,)),
         }
 
@@ -403,8 +423,7 @@ class DALLE:
         default batch; enable it (config key "fused_xent") when the model is
         memory-bound instead."""
         cfg = self.cfg
-        eos_col = jnp.full((tokens.shape[0], 1), cfg.eos, tokens.dtype)
-        labels = jnp.concatenate([tokens[:, 1:], eos_col], axis=1)
+        labels = self.shifted_labels(tokens)
 
         if fused_xent:
             from dalle_mtf_tpu.ops.xent_fused import chunked_softmax_xent  # noqa: PLC0415
@@ -427,6 +446,12 @@ class DALLE:
             logits = self.forward(params, tokens, rng, train, constrain)
             loss_batch = softmax_cross_entropy_with_logits(logits, labels, z_loss)
         return loss_batch.mean(), loss_batch
+
+    def shifted_labels(self, tokens: jax.Array) -> jax.Array:
+        """Next-token targets: tokens shifted left with EOS appended
+        (reference's pad+gather label construction, models.py:397-416)."""
+        eos_col = jnp.full((tokens.shape[0], 1), self.cfg.eos, tokens.dtype)
+        return jnp.concatenate([tokens[:, 1:], eos_col], axis=1)
 
     # --------------------------------------------------------- KV-cache path
 

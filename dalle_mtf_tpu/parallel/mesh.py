@@ -106,8 +106,29 @@ def build_mesh(
         axes = new_axes
     shape = tuple(s for _, s in axes)
     names = tuple(name for name, _ in axes)
-    dev_array = np.asarray(devices).reshape(shape)
+    dev_array = _device_mesh(shape, list(devices))
     return Mesh(dev_array, names)
+
+
+def _device_mesh(shape: tuple[int, ...], devices: list) -> np.ndarray:
+    """Topology-aware device layout.
+
+    The reference relied on the TPUEstimator ``device_assignment`` so mtf's
+    mesh respected the physical torus (utils/utils.py:163-182). The JAX
+    equivalent is ``mesh_utils.create_device_mesh``, which orders devices so
+    the *last* (model) axis rides the shortest ICI hops — an
+    enumeration-order reshape can straddle the model axis across
+    non-adjacent chips, taxing every TP collective. Falls back to a plain
+    reshape for backends mesh_utils doesn't understand (CPU fake devices,
+    device sublists).
+    """
+    try:
+        from jax.experimental import mesh_utils  # noqa: PLC0415
+
+        return mesh_utils.create_device_mesh(shape, devices=devices)
+    except Exception as e:  # pragma: no cover - backend specific
+        logger.debug("mesh_utils.create_device_mesh unavailable (%s)", e)
+        return np.asarray(devices).reshape(shape)
 
 
 def logical_to_pspec(

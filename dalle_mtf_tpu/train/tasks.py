@@ -84,20 +84,50 @@ def make_dalle_task(params: Mapping[str, Any], constrain=None):
             [batch["caption"].astype(jnp.int32), img_tokens], axis=1
         )
 
+    text_len = cfg.text_seq_len
+
+    def _split_losses(loss_batch):
+        # loss_batch[:, i] scores the prediction of token i+1, so image
+        # modeling starts at position text_seq_len - 1 (the first image
+        # token's prediction).
+        return {
+            "loss_text": loss_batch[:, : text_len - 1].mean(),
+            "loss_image": loss_batch[:, text_len - 1 :].mean(),
+        }
+
     def train_loss(p, frozen_vae, batch, rng, step):
         tokens = tokens_of(frozen_vae, batch)
-        loss, _ = dalle.loss(
+        loss, loss_batch = dalle.loss(
             p, tokens, rng, train=True, constrain=constrain,
             z_loss=z_loss, fused_xent=fused_xent,
         )
-        return loss, {}
+        return loss, _split_losses(loss_batch)
 
     def eval_loss(p, frozen_vae, batch, rng, step):
+        """Eval with metrics beyond mean loss (the reference exposed an eval
+        metric_fn, model_fns_tf.py:80-96): text/image loss split and
+        next-token accuracy (overall + image positions)."""
         tokens = tokens_of(frozen_vae, batch)
-        loss, _ = dalle.loss(
-            p, tokens, rng, train=False, constrain=constrain,
-            z_loss=z_loss, fused_xent=fused_xent,
+        if fused_xent:
+            # the fused path never materializes logits — no argmax available
+            loss, loss_batch = dalle.loss(
+                p, tokens, rng, train=False, constrain=constrain,
+                z_loss=z_loss, fused_xent=True,
+            )
+            return loss, _split_losses(loss_batch)
+        from dalle_mtf_tpu.ops.losses import (  # noqa: PLC0415
+            softmax_cross_entropy_with_logits,
         )
-        return loss, {}
+
+        logits = dalle.forward(p, tokens, rng, train=False, constrain=constrain)
+        labels = dalle.shifted_labels(tokens)
+        loss_batch = softmax_cross_entropy_with_logits(logits, labels, z_loss)
+        correct = (jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32)
+        aux = {
+            **_split_losses(loss_batch),
+            "acc": correct.mean(),
+            "acc_image": correct[:, text_len - 1 :].mean(),
+        }
+        return loss_batch.mean(), aux
 
     return dalle, vae, dalle.init, train_loss, eval_loss, dalle.logical_axes()

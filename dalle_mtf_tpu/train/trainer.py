@@ -166,6 +166,8 @@ class Trainer:
         num_mb = self.num_mb
         loss_fn = self.loss_fn
         schedule = self.schedule
+        mesh = self.mesh
+        batch_axis = self.rules.get("batch_dim", "data")
 
         def step_fn(state, frozen, batch, rng):
             step = state["step"]
@@ -175,31 +177,54 @@ class Trainer:
                 return loss_fn(p, frozen, mb, r, step)
 
             if num_mb > 1:
-                # grad accumulation — mtf.serialize_training_step equivalent
-                mbs = jax.tree_util.tree_map(
-                    lambda x: x.reshape(num_mb, x.shape[0] // num_mb, *x.shape[1:]),
-                    batch,
-                )
+                # grad accumulation — mtf.serialize_training_step equivalent.
+                # Split [B, ...] -> [num_mb, B/num_mb, ...] with the
+                # microbatch as the MINOR batch stride (row b of microbatch i
+                # is global row b*num_mb + i): each device's local rows then
+                # spread over all microbatches, so every microbatch keeps the
+                # per-replica batch sharding and GSPMD never reshards the
+                # batch across devices. Grouping doesn't change the averaged
+                # gradient — it is the mean over all B rows either way.
+                def split_mb(x):
+                    x = x.reshape(x.shape[0] // num_mb, num_mb, *x.shape[1:])
+                    x = jnp.swapaxes(x, 0, 1)
+                    return jax.lax.with_sharding_constraint(
+                        x,
+                        NamedSharding(mesh, PartitionSpec(None, batch_axis)),
+                    )
+
+                mbs = jax.tree_util.tree_map(split_mb, batch)
                 rngs = jax.random.split(rng, num_mb)
                 zero_grads = jax.tree_util.tree_map(
                     lambda x: jnp.zeros(x.shape, jnp.float32), params
                 )
+                mb0 = jax.tree_util.tree_map(lambda x: x[0], mbs)
+                aux_shapes = jax.eval_shape(compute, params, mb0, rngs[0])[1]
+                zero_aux = jax.tree_util.tree_map(
+                    lambda s: jnp.zeros(s.shape, jnp.float32), aux_shapes
+                )
 
                 def body(carry, xs):
-                    g_acc, loss_acc = carry
+                    g_acc, loss_acc, aux_acc = carry
                     mb, r = xs
-                    (loss, _aux), g = jax.value_and_grad(compute, has_aux=True)(
+                    (loss, aux_mb), g = jax.value_and_grad(compute, has_aux=True)(
                         params, mb, r
                     )
                     g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
-                    return (g_acc, loss_acc + loss), None
+                    aux_acc = jax.tree_util.tree_map(
+                        lambda a, v: a + v.astype(jnp.float32), aux_acc, aux_mb
+                    )
+                    return (g_acc, loss_acc + loss, aux_acc), None
 
-                (grads, loss_sum), _ = jax.lax.scan(
-                    body, (zero_grads, jnp.zeros((), jnp.float32)), (mbs, rngs)
+                (grads, loss_sum, aux_sum), _ = jax.lax.scan(
+                    body,
+                    (zero_grads, jnp.zeros((), jnp.float32), zero_aux),
+                    (mbs, rngs),
                 )
                 grads = jax.tree_util.tree_map(lambda g: g / num_mb, grads)
                 loss = loss_sum / num_mb
-                aux = {}
+                aux = jax.tree_util.tree_map(lambda a: a / num_mb, aux_sum)
+                aux = dict(aux)
             else:
                 (loss, aux), grads = jax.value_and_grad(compute, has_aux=True)(
                     params, batch, rng
@@ -378,15 +403,24 @@ class Trainer:
                 self.save(state)
                 if eval_steps and eval_data_iter is not None:
                     eval_rng = jax.random.fold_in(rng, 2)
-                    losses = []
+                    sums: dict[str, list[float]] = {}
                     for i in range(eval_steps):
                         em = self.eval_step(
                             state, next(eval_data_iter),
                             jax.random.fold_in(eval_rng, i),
                         )
-                        losses.append(float(jax.device_get(em["loss"])))
-                    self.writer.scalars(step + 1, {"eval_loss": float(np.mean(losses))})
-                    logger.info("step %d eval_loss %.5f", step + 1, np.mean(losses))
+                        for k, v in em.items():
+                            sums.setdefault(k, []).append(
+                                float(jax.device_get(v))
+                            )
+                    means = {
+                        f"eval_{k}": float(np.mean(v)) for k, v in sums.items()
+                    }
+                    self.writer.scalars(step + 1, means)
+                    logger.info(
+                        "step %d %s", step + 1,
+                        " ".join(f"{k} {v:.5f}" for k, v in sorted(means.items())),
+                    )
                 if summary_fn is not None:
                     summary_fn(self, state, step + 1)
         self.wait_for_checkpoints()

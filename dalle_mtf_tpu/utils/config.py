@@ -25,11 +25,8 @@ class Config(dict):
     def __missing__(self, key: str) -> None:  # noqa: D105
         return None
 
-    def __getattr__(self, key: str) -> Any:
-        try:
-            return self[key]
-        except KeyError:
-            return None
+    # NOTE: deliberately no __getattr__ fallback — the reference's defaultdict
+    # only forgave []-access; attribute typos should raise AttributeError.
 
     @classmethod
     def from_mapping(cls, m: Mapping[str, Any]) -> "Config":

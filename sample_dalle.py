@@ -82,14 +82,18 @@ def main():
     # this is a no-op). GSPMD propagates the sharding through prefill/decode.
     from dalle_mtf_tpu.parallel.mesh import build_mesh, parse_layout, shard_params
 
+    mesh = build_mesh(params.get("mesh_shape"))
+    rules = parse_layout(params.get("layout"))
+    dalle_params = shard_params(dalle_params, mesh, rules, axes)
     if args.int8:
+        # Quantize AFTER sharding: the elementwise quantize preserves each
+        # leaf's NamedSharding (scales keepdims along the contracted axis),
+        # so TP-scale configs stay sharded; quantizing first would both skip
+        # sharding and misalign the <name>_scale leaves against the
+        # logical-axes tree that shard_params zips over.
         from dalle_mtf_tpu.quantize import quantize_layers_int8
 
         dalle_params = quantize_layers_int8(dalle_params)
-    else:
-        mesh = build_mesh(params.get("mesh_shape"))
-        rules = parse_layout(params.get("layout"))
-        dalle_params = shard_params(dalle_params, mesh, rules, axes)
 
     t0 = time.time()
     imgs = generate_images(

@@ -20,8 +20,11 @@ def test_config_missing_keys_read_none(tmp_path):
     cfg = Config.from_mapping({"a": 1, "nested": {"b": 2}})
     assert cfg["a"] == 1
     assert cfg["missing"] is None
-    assert cfg.missing is None
     assert cfg["nested"]["also_missing"] is None
+    # the reference's defaultdict only forgave []-access; attribute typos
+    # must raise instead of silently reading None
+    with pytest.raises(AttributeError):
+        _ = cfg.missing
 
 
 def test_fetch_model_params_nests_vae(tmp_path):
@@ -91,3 +94,16 @@ def test_sharded_matmul_runs_on_fake_mesh():
         return (a * 2.0).sum()
 
     assert np.isclose(float(f(xs)), 8 * 16 * 2.0)
+
+
+def test_mesh_model_axis_innermost():
+    """Topology-aware layout: the model (last) axis should map to adjacent
+    device ids so TP collectives ride the shortest ICI hops — the JAX
+    equivalent of the reference's device_assignment-driven mesh
+    (utils/utils.py:163-182)."""
+    from dalle_mtf_tpu.parallel.mesh import build_mesh
+
+    mesh = build_mesh("data:4,model:2")
+    ids = [[d.id for d in row] for row in mesh.devices]
+    for row in ids:
+        assert abs(row[0] - row[1]) == 1, f"model axis straddles chips: {ids}"

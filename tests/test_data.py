@@ -245,3 +245,49 @@ class TestPipelines:
         p1 = vae_input_fn(params, shard=(1, 2), repeat=False)
         assert set(p0.files).isdisjoint(p1.files)
         assert len(p0.files) + len(p1.files) == 8
+
+
+class TestRealGPT2Path:
+    """Pin the real (non-fallback) GPT2TokenizerFast path with a miniature
+    GPT-2-format vocab — the zero-egress environment can never download the
+    full vocab, so every e2e run exercises only the byte fallback; this test
+    runs the actual HF BPE machinery + our special-token addition."""
+
+    @pytest.fixture()
+    def mini_gpt2_dir(self, tmp_path):
+        import json as _json
+
+        from transformers.models.gpt2.tokenization_gpt2 import bytes_to_unicode
+
+        base = list(bytes_to_unicode().values())  # the 256 byte-level symbols
+        vocab = {tok: i for i, tok in enumerate(base)}
+        for merged in ("he", "the", "Ġthe"):  # Ġthe
+            vocab[merged] = len(vocab)
+        # like the real vocab, <|endoftext|> is the last base entry (50256
+        # in production); without it the fast-tokenizer conversion appends
+        # it itself and shifts the pad slot
+        vocab["<|endoftext|>"] = len(vocab)
+        merges = ["h e", "t he", "Ġ the"]
+        d = tmp_path / "mini_gpt2"
+        d.mkdir()
+        (d / "vocab.json").write_text(_json.dumps(vocab))
+        (d / "merges.txt").write_text("#version: 0.2\n" + "\n".join(merges) + "\n")
+        return str(d), len(vocab)
+
+    def test_real_tokenizer_pads_and_merges(self, mini_gpt2_dir):
+        path, base_vocab = mini_gpt2_dir
+        tok = get_tokenizer(path)
+        assert not tok.is_fallback, "real GPT-2 path did not load"
+        # <|padding|> appended after the base vocab — same slot arithmetic
+        # that makes the production tokenizer 50258 with pad at 50257
+        # (reference tokenizer_utils.py:4-16)
+        assert tok.pad_token == "<|padding|>"
+        assert tok.pad_token_id == base_vocab
+        assert len(tok) == base_vocab + 1
+        # BPE merges actually apply: "the" merges to one token, " the"
+        # merges through the Ġ space convention
+        the, g_the = tok.convert_tokens_to_ids("the"), tok.convert_tokens_to_ids("Ġthe")
+        assert tok.encode("the the") == [the, g_the]
+        assert tok.decode([the, g_the]) == "the the"
+        ids = pad_or_truncate(tok.encode("the"), 4, tok.pad_token_id)
+        assert ids == [the] + [tok.pad_token_id] * 3

@@ -37,3 +37,33 @@ def test_tp_sharded_generation_matches_unsharded():
     out = generate_image_tokens(model, sharded_params, text, jax.random.PRNGKey(2),
                                 temperature=0.0)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_int8_after_sharding_stays_sharded_and_generates():
+    """sample_dalle --int8 shards first, then quantizes: the elementwise
+    quantize must preserve the TP shardings (scales keepdims on the
+    contracted axis) and generation must still work."""
+    from dalle_mtf_tpu.quantize import quantize_layers_int8
+
+    model = DALLE(CFG)
+    params = model.init(jax.random.PRNGKey(0))
+    text = jax.random.randint(jax.random.PRNGKey(1), (4, 8), 0, 40)
+    ref = generate_image_tokens(model, params, text, jax.random.PRNGKey(2),
+                                temperature=0.0)
+
+    mesh = build_mesh("data:4,model:2")
+    rules = parse_layout(
+        "batch_dim:data,heads_dim:model,intermediate_expanded:model,vocab_dim:model"
+    )
+    sharded = shard_params(params, mesh, rules, model.logical_axes())
+    q = quantize_layers_int8(sharded)
+    # int8 weights and their scales keep the model-axis sharding
+    for name in ("wq", "w_mlp1"):
+        assert "model" in str(q["layers"][name].sharding.spec), name
+        assert "model" in str(q["layers"][name + "_scale"].sharding.spec), name
+    assert q["layers"]["wq"].dtype == jnp.int8
+    out = generate_image_tokens(model, q, text, jax.random.PRNGKey(2),
+                                temperature=0.0)
+    # int8 is lossy; greedy tokens should still largely agree at tiny scale
+    agreement = float(np.mean(np.asarray(ref) == np.asarray(out)))
+    assert agreement > 0.5, f"int8+TP generation diverged (agreement {agreement})"

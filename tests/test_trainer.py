@@ -244,3 +244,64 @@ class TestTrainerDalle:
             )
         t1.close()
         t2.close()
+
+
+class TestAuxMetrics:
+    def test_aux_survives_microbatching(self, tmp_path):
+        """Train-step aux scalars (loss_text/loss_image) must be reported
+        both with and without grad accumulation, and agree between the two
+        (microbatch aux is accumulated in the scan carry and averaged)."""
+        from dalle_mtf_tpu.models.vae import DiscreteVAE, VAEConfig
+
+        vae_cfg = VAEConfig.from_params(DALLE_PARAMS["vae_params"])
+        vae_params = DiscreteVAE(vae_cfg).init(jax.random.PRNGKey(7))
+        dalle, _v, init_fn, loss_fn, _e, axes = make_dalle_task(DALLE_PARAMS)
+        p_mb = Config.from_mapping(
+            {**DALLE_PARAMS.to_dict(),
+             "tokens_per_mb_per_replica": dalle.cfg.total_seq_len}
+        )
+        t1 = Trainer(
+            DALLE_PARAMS, init_fn, loss_fn, axes,
+            model_dir=str(tmp_path / "a"), seq_len=dalle.cfg.total_seq_len,
+            frozen_params=vae_params,
+        )
+        t2 = Trainer(
+            p_mb, init_fn, loss_fn, axes,
+            model_dir=str(tmp_path / "b"), seq_len=dalle.cfg.total_seq_len,
+            frozen_params=vae_params,
+        )
+        assert t2.num_mb > 1
+        batch = next(_dalle_batches())
+        s1 = t1.init_state(jax.random.PRNGKey(0))
+        s2 = t2.init_state(jax.random.PRNGKey(0))
+        _, m1 = t1.train_step(s1, batch, jax.random.PRNGKey(1))
+        _, m2 = t2.train_step(s2, batch, jax.random.PRNGKey(1))
+        for key in ("loss_text", "loss_image"):
+            assert key in m1 and key in m2
+            np.testing.assert_allclose(
+                float(jax.device_get(m1[key])), float(jax.device_get(m2[key])),
+                rtol=1e-4,
+            )
+        t1.close()
+        t2.close()
+
+    def test_eval_metrics_include_accuracy(self, tmp_path):
+        from dalle_mtf_tpu.models.vae import DiscreteVAE, VAEConfig
+
+        vae_cfg = VAEConfig.from_params(DALLE_PARAMS["vae_params"])
+        vae_params = DiscreteVAE(vae_cfg).init(jax.random.PRNGKey(7))
+        _d, _v, init_fn, loss_fn, eval_loss_fn, axes = make_dalle_task(
+            DALLE_PARAMS
+        )
+        trainer = Trainer(
+            DALLE_PARAMS, init_fn, loss_fn, axes,
+            model_dir=str(tmp_path / "m"), seq_len=_d.cfg.total_seq_len,
+            frozen_params=vae_params, eval_loss_fn=eval_loss_fn,
+        )
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        em = trainer.eval_step(state, next(_dalle_batches()), jax.random.PRNGKey(1))
+        for key in ("loss", "loss_text", "loss_image", "acc", "acc_image"):
+            assert key in em, key
+        acc = float(jax.device_get(em["acc"]))
+        assert 0.0 <= acc <= 1.0
+        trainer.close()
