@@ -107,10 +107,18 @@ def create_paired_dataset(
     reencode: bool = False,
     tokenizer=None,
 ):
-    """jsonl [{caption, image_path}] -> sharded <name>_N.tfrecords files."""
+    """jsonl [{caption, image_path}] -> sharded <name>_N.tfrecords files.
+
+    ``out_dir`` may be a remote URL (gs://...) — shards stream through
+    fsspec via TFRecordWriter; the jsonl and images are read locally.
+    """
+    from dalle_mtf_tpu.data import fs  # noqa: PLC0415
+
     base_dir = Path(path_to_jsonl).parent
-    out = Path(out_dir)
-    os.makedirs(out, exist_ok=True)
+    fs.makedirs(out_dir)
+
+    def shard_path(i: int) -> str:
+        return f"{out_dir.rstrip('/')}/{name}_{i}.tfrecords"
     if tokenizer is None:
         tokenizer = get_tokenizer()
     items = load_jsonl(path_to_jsonl)
@@ -123,7 +131,7 @@ def create_paired_dataset(
             if writer is not None:
                 writer.close()
                 shard += 1
-            writer = TFRecordWriter(str(out / f"{name}_{shard}.tfrecords"))
+            writer = TFRecordWriter(shard_path(shard))
             written = 0
         image_path = str(base_dir / item["image_path"])
         if reencode:
@@ -139,5 +147,5 @@ def create_paired_dataset(
     if writer is not None:
         writer.close()
     total_shards = shard + (1 if written else 0)
-    print(f"wrote {len(items)} examples into {total_shards} shard(s) in {out}")
+    print(f"wrote {len(items)} examples into {total_shards} shard(s) in {out_dir}")
     return total_shards

@@ -1,0 +1,67 @@
+"""Filesystem layer: local paths plus remote URLs (gs://, s3://, memory://).
+
+The reference streamed TFRecords straight off GCS through tf.data
+(src/input_fns.py:85-104; every shipped config uses gs:// paths). Here the
+same capability comes from fsspec (gcsfs backs gs://): ``open_file`` returns
+a buffered, seekable file object for any URL, and ``list_files`` globs both
+local patterns and remote URLs. The native C++ TFRecord reader remains the
+local fast path; remote files flow through the pure-Python record reader
+over an fsspec stream (data/native.py dispatches on ``is_remote``).
+
+The memory:// filesystem makes the whole remote path unit-testable offline
+(tests/test_data.py) — the code path is identical to gs:// modulo the
+fsspec backend.
+"""
+
+from __future__ import annotations
+
+import glob as globlib
+
+
+def is_remote(path: str) -> bool:
+    """True for URL-style paths that need fsspec (gs://, s3://, memory://...).
+
+    file:// counts as local-ish but still routes through fsspec for
+    uniformity; plain paths and Windows drive letters do not.
+    """
+    if not isinstance(path, str):
+        return False
+    head, sep, _ = path.partition("://")
+    return bool(sep) and head.isalpha() and len(head) > 1
+
+
+def open_file(path: str, mode: str = "rb"):
+    """Open a local path or remote URL; returns a file-like object.
+
+    Remote reads are buffered by the fsspec backend (gcsfs fetches in
+    multi-MB blocks), so per-record reads off the returned object do not
+    issue per-record RPCs.
+    """
+    if is_remote(path):
+        import fsspec  # noqa: PLC0415
+
+        return fsspec.open(path, mode).open()
+    return open(path, mode)
+
+
+def list_files(pattern: str) -> list[str]:
+    """Glob local patterns or remote URLs (reference input_fns.py:79,85 used
+    tf.io.gfile-backed Dataset.list_files over gs:// globs)."""
+    if is_remote(pattern):
+        import fsspec  # noqa: PLC0415
+
+        fs, _, paths = fsspec.get_fs_token_paths(pattern)
+        return sorted(fs.unstrip_protocol(p) for p in paths)
+    return sorted(globlib.glob(pattern, recursive=True))
+
+
+def makedirs(path: str) -> None:
+    if is_remote(path):
+        import fsspec  # noqa: PLC0415
+
+        fs, _, (p,) = fsspec.get_fs_token_paths(path)
+        fs.makedirs(p, exist_ok=True)
+        return
+    import os  # noqa: PLC0415
+
+    os.makedirs(path, exist_ok=True)

@@ -102,9 +102,17 @@ def crc32c(data: bytes) -> int:
     return lib.dmt_crc32c(data, len(data))
 
 
-def read_tfrecord_file(path: str, verify_crc: bool = False):
-    """Native streaming TFRecord reader; yields bytes records."""
-    lib = get_lib()
+def read_tfrecord_file(path, verify_crc: bool = False):
+    """Streaming TFRecord reader; yields bytes records.
+
+    Local files take the native (mmap'd, hardware-crc32c) fast path; remote
+    URLs (gs://, memory://, ...) and open file objects stream through the
+    pure-Python reader over fsspec — matching the reference's GCS-native
+    tf.data input (input_fns.py:85-104).
+    """
+    from dalle_mtf_tpu.data.fs import is_remote  # noqa: PLC0415
+
+    lib = None if (hasattr(path, "read") or is_remote(path)) else get_lib()
     if lib is None:
         from dalle_mtf_tpu.data import tfrecord  # noqa: PLC0415
 

@@ -22,7 +22,6 @@ Batches are dicts: {"image": f32[B,H,W,C] in [-1,1], "caption": i32[B,T]}.
 
 from __future__ import annotations
 
-import glob as globlib
 import io
 import logging
 import queue
@@ -33,6 +32,8 @@ from typing import Any, Callable, Iterator, Mapping
 
 import numpy as np
 
+from dalle_mtf_tpu.data.fs import list_files as fs_list_files
+from dalle_mtf_tpu.data.fs import open_file
 from dalle_mtf_tpu.data.tfrecord import parse_example
 # native streaming reader with built-in pure-Python fallback
 from dalle_mtf_tpu.data.native import read_tfrecord_file
@@ -41,17 +42,8 @@ logger = logging.getLogger(__name__)
 
 
 def list_files(pattern: str) -> list[str]:
-    """Glob local paths; gs:// paths go through tf.io.gfile when available."""
-    if pattern.startswith("gs://"):
-        try:
-            import tensorflow as tf  # noqa: PLC0415
-
-            return sorted(tf.io.gfile.glob(pattern))
-        except ImportError as e:  # pragma: no cover
-            raise IOError(
-                "gs:// paths need tf.io.gfile (tensorflow) for listing"
-            ) from e
-    return sorted(globlib.glob(pattern, recursive=True))
+    """Glob local paths or remote URLs (gs:// etc. via fsspec — fs.py)."""
+    return fs_list_files(pattern)
 
 
 def decode_img(data: bytes, size: int, channels: int = 3) -> np.ndarray:
@@ -95,6 +87,7 @@ class _Pipeline:
         num_workers: int = 16,
         prefetch: int = 4,
         repeat: bool = True,
+        cycle_length: int = 4,
     ):
         if not files:
             raise FileNotFoundError("input pipeline got an empty file list")
@@ -107,6 +100,39 @@ class _Pipeline:
         self.num_workers = num_workers
         self.prefetch = prefetch
         self.repeat = repeat
+        # parallel_interleave(cycle_length=4) equivalent (reference
+        # input_fns.py:87-92): round-robin over N concurrently-open files so
+        # a shuffle window sees examples from several shards, not one
+        self.cycle_length = max(1, cycle_length)
+
+    def _interleaved(self, files: list[str]) -> Iterator[Any]:
+        """Round-robin one record at a time across cycle_length open files;
+        an exhausted file is replaced by the next unopened one."""
+        from collections import deque  # noqa: PLC0415
+
+        file_iter = iter(files)
+        active: deque = deque()
+
+        def refill() -> None:
+            for f in file_iter:
+                active.append(self.record_iter_fn(f))
+                return
+
+        while len(active) < self.cycle_length:
+            n = len(active)
+            refill()
+            if len(active) == n:
+                break
+        while active:
+            it = active[0]
+            try:
+                rec = next(it)
+            except StopIteration:
+                active.popleft()
+                refill()
+                continue
+            yield rec
+            active.rotate(-1)
 
     def _records(self) -> Iterator[Any]:
         rng = random.Random(self.seed)
@@ -114,8 +140,11 @@ class _Pipeline:
         if self.shuffle:
             rng.shuffle(files)  # reshuffle_each_iteration=False (input_fns.py:82)
         while True:
-            for f in files:
-                yield from self.record_iter_fn(f)
+            if self.cycle_length > 1 and len(files) > 1:
+                yield from self._interleaved(files)
+            else:
+                for f in files:
+                    yield from self.record_iter_fn(f)
             if not self.repeat:
                 return
 
@@ -253,7 +282,7 @@ def vae_input_fn(
         yield path_
 
     def parse_path(path_: str) -> dict:
-        with open(path_, "rb") as f:
+        with open_file(path_, "rb") as f:
             return {"image": decode_img(f.read(), size, channels)}
 
     return _Pipeline(

@@ -218,7 +218,9 @@ def parse_example(data: bytes) -> dict:
 
 class TFRecordWriter:
     def __init__(self, path: str):
-        self._f = open(path, "wb")
+        from dalle_mtf_tpu.data.fs import open_file  # noqa: PLC0415
+
+        self._f = open_file(path, "wb")
 
     def write(self, record: bytes):
         header = struct.pack("<Q", len(record))
@@ -237,19 +239,33 @@ class TFRecordWriter:
         self.close()
 
 
-def read_tfrecord_file(path: str, verify_crc: bool = False) -> Iterator[bytes]:
-    """Yield raw record payloads from a TFRecord file."""
-    with open(path, "rb") as f:
-        while True:
-            header = f.read(8)
-            if len(header) < 8:
-                return
-            (length,) = struct.unpack("<Q", header)
-            (len_crc,) = struct.unpack("<I", f.read(4))
-            if verify_crc and len_crc != _masked_crc(header):
-                raise IOError(f"corrupt length crc in {path}")
-            data = f.read(length)
-            (data_crc,) = struct.unpack("<I", f.read(4))
-            if verify_crc and data_crc != _masked_crc(data):
-                raise IOError(f"corrupt record crc in {path}")
-            yield data
+def read_tfrecord_file(path, verify_crc: bool = False) -> Iterator[bytes]:
+    """Yield raw record payloads from a TFRecord file.
+
+    ``path`` may be a local path, a remote URL (gs://... via fsspec — the
+    reference read GCS natively through tf.data, input_fns.py:85-104), or
+    an already-open binary file object.
+    """
+    if hasattr(path, "read"):
+        yield from _read_tfrecord_stream(path, verify_crc, name="<stream>")
+        return
+    from dalle_mtf_tpu.data.fs import open_file  # noqa: PLC0415
+
+    with open_file(path, "rb") as f:
+        yield from _read_tfrecord_stream(f, verify_crc, name=str(path))
+
+
+def _read_tfrecord_stream(f, verify_crc: bool, name: str) -> Iterator[bytes]:
+    while True:
+        header = f.read(8)
+        if len(header) < 8:
+            return
+        (length,) = struct.unpack("<Q", header)
+        (len_crc,) = struct.unpack("<I", f.read(4))
+        if verify_crc and len_crc != _masked_crc(header):
+            raise IOError(f"corrupt length crc in {name}")
+        data = f.read(length)
+        (data_crc,) = struct.unpack("<I", f.read(4))
+        if verify_crc and data_crc != _masked_crc(data):
+            raise IOError(f"corrupt record crc in {name}")
+        yield data
