@@ -4,19 +4,40 @@ The reference delegated attention to black-box mtf kernels:
 ``mtf_transformer.attention.attention`` with an additive -1e10 causal mask
 materialized over the full [seq, seq] square (src/dalle_mtf/models.py:221-227,
 287-299) and ``local_attention_1d`` with a radius (models.py:257-273). Here
-the hot path is a Pallas flash-attention kernel: online softmax, no
-materialized mask or [S, S] score tensor in HBM, bf16 in / fp32 accumulate on
-the MXU. The local variant is the same kernel with a band mask — unlike the
-reference, it is actually reachable (``attention_type: "local"`` in config).
+the hot path is Pallas kernels: no materialized mask or [S, S] score tensor
+in HBM, bf16 in / fp32 accumulate on the MXU. The local variant is the same
+kernel with a band mask — unlike the reference, it is actually reachable
+(``attention_type: "local"`` in config).
+
+Two kernel families, dispatched on sequence length:
+
+- **Whole-row** (``s_pad <= WHOLE_ROW_MAX_SEQ``, the DALLE hot path at
+  S=1280): one program per (batch*head, q-block) computes the FULL score
+  row [block_q, S] in VMEM with a single matmul pair and a one-shot softmax
+  (no online-softmax loop). At short-S DALLE shapes the per-block
+  online-softmax machinery (fori_loop carries, running max/normalizer
+  corrections, per-block mask iotas) costs more VPU time than the 2x matmul
+  FLOPs it saves via the causal skip -- measured 1.72 ms vs 2.27 ms fwd at
+  16x8x1280x128 bf16 on v5e, at/below the shipped
+  jax.experimental.pallas.ops.tpu flash kernel's best tuning (1.68 ms).
+  The causal/window/pad mask is precomputed once per call as a bool array
+  indexed by q-block via BlockSpec (XLA CSEs it across all layers of a
+  network), replacing per-block iota+compare with a single select.
+
+- **Online-softmax loop** (longer sequences): classic flash attention --
+  the [block_q, S] score row no longer fits VMEM and the causal skip's
+  FLOP saving dominates, so kv blocks stream through running (m, l)
+  statistics.
 
 Backward pass: fully fused Pallas dq and dk/dv kernels (FlashAttention-2
-style). The forward saves only (q, k, v, out, lse) — lse lane-replicated to
-[S, 128] so per-row scalars stay TPU-tileable — and the backward
+style), in the same two flavors — the whole-row flavor additionally fuses
+dq and dk/dv into ONE kernel sharing the resident q/k/v/do inputs. The
+forward saves only (q, k, v, out, lse) — lse lane-replicated to [S, 128]
+so per-row scalars stay TPU-tileable — and the backward
 rematerializes score blocks on the fly: no [S, S] tensor ever exists in HBM
-in either direction. Measured on v5e at dalle_coco shapes: 6.1 ms fwd+bwd
-vs 11.2 ms for XLA rematerialization (the ``BACKWARD_IMPL = "xla"`` switch
-keeps the XLA path selectable per deployment). Backward prefers larger
-tiles than forward (DEFAULT_BWD_BLOCK).
+in either direction (the ``BACKWARD_IMPL = "xla"`` switch keeps the XLA
+rematerialization path selectable per deployment). Loop-path backward
+prefers larger tiles than forward (DEFAULT_BWD_BLOCK).
 """
 
 from __future__ import annotations
@@ -94,7 +115,11 @@ def _flash_kernel(
     q_offset = qi * block_q
 
     scale = 1.0 / math.sqrt(d)
-    q = q_ref[...].astype(jnp.float32) * scale
+    # Keep q/k in their native (bf16) dtype INTO the MXU and accumulate in
+    # fp32 (preferred_element_type): on v5e the fp32 matmul path runs at a
+    # fraction of the 197 TF/s bf16 rate, so pre-casting to fp32 here would
+    # throttle the whole kernel. The scale is applied to the fp32 scores.
+    q = q_ref[...]
 
     # Causal: only kv blocks whose start is <= the last query row.
     num_kv_blocks = jax.lax.div(q_offset + block_q - 1, block_k) + 1
@@ -103,13 +128,13 @@ def _flash_kernel(
 
     def body(j, carry):
         acc, m_prev, l_prev = carry
-        k_blk = k_ref[pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        k_blk = k_ref[pl.ds(j * block_k, block_k), :]
         v_blk = v_ref[pl.ds(j * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k_blk,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [block_q, block_k]
+        ) * scale  # [block_q, block_k]
         col_ids = j * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1
         )
@@ -155,11 +180,255 @@ def _pad_seq(x, s_pad):
     return jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(0, s_pad - s), (0, 0)])
 
 
+# ---------------------------------------------------------------- whole-row
+# Short-sequence kernels: the full [block, S] score row lives in VMEM and the
+# softmax is one-shot (no online statistics). See the module docstring for
+# why this beats the online-softmax loop at DALLE shapes.
+
+WHOLE_ROW_MAX_SEQ = 2048  # beyond this, the causal skip + streaming kv wins
+LSE_ROWS = 8  # sublane replication for row-vector (per-query) scalars
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _wr_pick_block(s128: int, n_f32_bufs: int, budget: int = 8 << 20):
+    """Largest 128-multiple row-block whose n_f32_bufs [block, s_pad] fp32
+    score buffers fit the VMEM budget. Returns (block, s_pad)."""
+    total = 4 * s128 * s128 * n_f32_bufs
+    n_blocks = max(1, -(-total // budget))
+    block = _round_up(-(-s128 // n_blocks), 128)
+    return block, block * n_blocks
+
+
+def _wr_mask(s_pad: int, seq_len: int, window) -> jax.Array:
+    """bool [s_pad, s_pad]: True = masked. Built once per call (XLA CSEs it
+    across layers); replaces per-block iota+compare inside the kernels."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (s_pad, s_pad), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (s_pad, s_pad), 1)
+    m = col > row
+    if seq_len < s_pad:
+        m = jnp.logical_or(m, col >= seq_len)
+    if window is not None:
+        m = jnp.logical_or(m, row - col >= window)
+    return m
+
+
+def _wr_fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref=None):
+    """One (batch*head, q-block) program: full score row, one-shot softmax.
+
+    q_ref: [block, D]; k_ref/v_ref: [S, D]; mask_ref: [block, S] bool.
+    bf16 into the MXU, fp32 accumulate (preferred_element_type) — on v5e the
+    fp32 matmul path runs at a fraction of the bf16 rate.
+    """
+    d = q_ref.shape[-1]
+    scale = 1.0 / math.sqrt(d)
+    s = jax.lax.dot_general(
+        q_ref[...], k_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # [block, S]
+    s = jnp.where(mask_ref[...], NEG_INF, s)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    # fully-masked rows (possible for padded rows under a local window):
+    # emit 0 output and a huge lse so backward's exp(s - lse) underflows to 0
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    o = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[...] = (o / l_safe).astype(o_ref.dtype)
+    if lse_ref is not None:
+        lse = jnp.where(l > 0.0, m + jnp.log(l_safe), -NEG_INF)
+        lse_ref[...] = jnp.broadcast_to(lse, (q_ref.shape[0], LSE_LANES))
+
+
+def _wr_forward(q, k, v, window, interpret: bool, with_lse: bool = False):
+    b, h, s, d = q.shape
+    block_q, s_pad = _wr_pick_block(_round_up(s, 128), n_f32_bufs=1)
+    bh = b * h
+    qf = _pad_seq(q, s_pad).reshape(bh, s_pad, d)
+    kf = _pad_seq(k, s_pad).reshape(bh, s_pad, d)
+    vf = _pad_seq(v, s_pad).reshape(bh, s_pad, d)
+    n_q = s_pad // block_q
+    mask = _wr_mask(s_pad, s, window).reshape(n_q, block_q, s_pad)
+
+    out_shapes = [jax.ShapeDtypeStruct((bh, s_pad, d), q.dtype)]
+    out_specs = [pl.BlockSpec((None, block_q, d), lambda b_, i: (b_, i, 0))]
+    if with_lse:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((bh, s_pad, LSE_LANES), jnp.float32)
+        )
+        out_specs.append(
+            pl.BlockSpec((None, block_q, LSE_LANES), lambda b_, i: (b_, i, 0))
+        )
+    outs = pl.pallas_call(
+        _wr_fwd_kernel,
+        grid=(bh, n_q),
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda b_, i: (b_, i, 0)),
+            pl.BlockSpec((None, s_pad, d), lambda b_, i: (b_, 0, 0)),
+            pl.BlockSpec((None, s_pad, d), lambda b_, i: (b_, 0, 0)),
+            pl.BlockSpec((None, block_q, s_pad), lambda b_, i: (i, 0, 0)),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * bh * s_pad * s_pad * d,
+            bytes_accessed=4 * bh * s_pad * d * q.dtype.itemsize,
+            transcendentals=bh * s_pad * s_pad,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, mask)
+    out = outs[0].reshape(b, h, s_pad, d)
+    if s_pad != s:
+        out = out[:, :, :s, :]
+    if with_lse:
+        return out, outs[1]  # lse stays padded+flat for the bwd kernels
+    return out
+
+
+def _wr_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
+                   lse_row_ref, dsum_row_ref, mask_ref, maskT_ref,
+                   qb_ref, dob_ref, kb_ref, vb_ref,
+                   dq_ref, dk_ref, dv_ref):
+    """Fused dQ + dK/dV for one (batch*head, block) over full score rows.
+
+    One program computes dQ for query-block i AND dK/dV for key-block i:
+    the two halves share the full q/k/v/do inputs already resident in VMEM,
+    and fusing halves the program count vs separate dq/dkv kernels
+    (measured 3.4 ms vs 3.85 ms at dalle_coco shapes on v5e).
+
+    dQ half:   p  = exp(s - lse);  ds  = p  * (dO.V^T - dsum);  dQ = scale*ds.K
+    dKV half:  p' = exp(s' - lse'); ds' = p' * (V_blk.dO^T - dsum'); transposed
+    per-query scalars (lse', dsum') arrive sublane-replicated [LSE_ROWS, S].
+    Masked entries may overflow exp (scores are unmasked here) — the where()
+    after exp zeroes them, and select(inf) never produces NaN.
+    """
+    d = q_ref.shape[-1]
+    scale = 1.0 / math.sqrt(d)
+
+    # --- dQ for query-block i
+    s = jax.lax.dot_general(
+        qb_ref[...], k_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # [block, S]
+    p = jnp.exp(s - lse_ref[:, :1])
+    p = jnp.where(mask_ref[...], 0.0, p)
+    dp = jax.lax.dot_general(
+        dob_ref[...], v_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = (p * (dp - dsum_ref[:, :1])).astype(k_ref.dtype)
+    dq = jax.lax.dot_general(
+        ds, k_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dq_ref[...] = (dq * scale).astype(dq_ref.dtype)
+
+    # --- dK/dV for key-block i
+    sT = jax.lax.dot_general(
+        kb_ref[...], q_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # [block, S]
+    pT = jnp.exp(sT - lse_row_ref[0:1, :])
+    pT = jnp.where(maskT_ref[...], 0.0, pT)
+    dv = jax.lax.dot_general(
+        pT.astype(do_ref.dtype), do_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dv_ref[...] = dv.astype(dv_ref.dtype)
+    dpT = jax.lax.dot_general(
+        vb_ref[...], do_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dsT = (pT * (dpT - dsum_row_ref[0:1, :])).astype(q_ref.dtype)
+    dk = jax.lax.dot_general(
+        dsT, q_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dk_ref[...] = (dk * scale).astype(dk_ref.dtype)
+
+
+def _wr_backward(q, k, v, out, lse_flat, g, window, interpret: bool):
+    b, h, s, d = q.shape
+    bh = b * h
+    block, s_pad = _wr_pick_block(_round_up(s, 128), n_f32_bufs=2)
+
+    # normalize the forward's lse padding to this pass's s_pad (padded rows
+    # only ever meet do == 0, so any finite fill is safe)
+    lse = lse_flat
+    if lse.shape[1] < s_pad:
+        lse = jnp.pad(lse, ((0, 0), (0, s_pad - lse.shape[1]), (0, 0)))
+    elif lse.shape[1] > s_pad:
+        lse = lse[:, :s_pad, :]
+
+    dsum = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    dsum = _pad_seq(dsum[..., None], s_pad).reshape(bh, s_pad, 1)
+    dsum_flat = jnp.broadcast_to(dsum, (bh, s_pad, LSE_LANES))
+
+    qf = _pad_seq(q, s_pad).reshape(bh, s_pad, d)
+    kf = _pad_seq(k, s_pad).reshape(bh, s_pad, d)
+    vf = _pad_seq(v, s_pad).reshape(bh, s_pad, d)
+    gf = _pad_seq(g, s_pad).reshape(bh, s_pad, d)
+
+    n_blk = s_pad // block
+    mask = _wr_mask(s_pad, s, window)
+    mask_q = mask.reshape(n_blk, block, s_pad)
+    maskT = jnp.swapaxes(mask, 0, 1).reshape(n_blk, block, s_pad)
+    # per-query scalars as row vectors for the dkv half
+    lse_row = jnp.broadcast_to(lse[:, :, 0][:, None, :], (bh, LSE_ROWS, s_pad))
+    dsum_row = jnp.broadcast_to(
+        dsum[:, :, 0][:, None, :], (bh, LSE_ROWS, s_pad)
+    )
+
+    full = lambda: pl.BlockSpec((None, s_pad, d), lambda b_, i: (b_, 0, 0))  # noqa: E731
+    blk = lambda: pl.BlockSpec((None, block, d), lambda b_, i: (b_, i, 0))  # noqa: E731
+    dq, dk, dv = pl.pallas_call(
+        _wr_bwd_kernel,
+        grid=(bh, n_blk),
+        in_specs=[
+            full(), full(), full(), full(),
+            pl.BlockSpec((None, block, LSE_LANES), lambda b_, i: (b_, i, 0)),
+            pl.BlockSpec((None, block, LSE_LANES), lambda b_, i: (b_, i, 0)),
+            pl.BlockSpec((None, LSE_ROWS, s_pad), lambda b_, i: (b_, 0, 0)),
+            pl.BlockSpec((None, LSE_ROWS, s_pad), lambda b_, i: (b_, 0, 0)),
+            pl.BlockSpec((None, block, s_pad), lambda b_, i: (i, 0, 0)),
+            pl.BlockSpec((None, block, s_pad), lambda b_, i: (i, 0, 0)),
+            blk(), blk(), blk(), blk(),
+        ],
+        out_specs=[blk(), blk(), blk()],
+        out_shape=[jax.ShapeDtypeStruct((bh, s_pad, d), q.dtype)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, gf, lse, dsum_flat, lse_row, dsum_row, mask_q, maskT,
+      qf, gf, kf, vf)
+
+    def unflat(x):
+        x = x.reshape(b, h, s_pad, d)
+        return x[:, :, :s, :] if s_pad != s else x
+
+    return unflat(dq), unflat(dk), unflat(dv)
+
+
+# ------------------------------------------------------------ loop dispatch
+
 def _flash_forward(
     q, k, v, window, block_q: int, block_k: int, interpret: bool,
     with_lse: bool = False,
 ):
     b, h, s, d = q.shape
+    if _round_up(s, 128) <= WHOLE_ROW_MAX_SEQ:
+        return _wr_forward(q, k, v, window, interpret, with_lse)
     block_q = min(block_q, s)
     block_k = min(block_k, s)
     s_pad = ((s + block_q - 1) // block_q) * block_q
@@ -224,16 +493,17 @@ def _bwd_dq_kernel(
     q_offset = qi * block_q
     scale = 1.0 / math.sqrt(d)
 
-    q = q_ref[...].astype(jnp.float32)
-    do = do_ref[...].astype(jnp.float32)
+    # bf16 into the MXU, fp32 accumulate — see the forward kernel's note.
+    q = q_ref[...]
+    do = do_ref[...]
     lse = lse_ref[:, :1]
     dsum = dsum_ref[:, :1]
     row_ids = q_offset + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
     num_kv_blocks = jax.lax.div(q_offset + block_q - 1, block_k) + 1
 
     def body(j, dq_acc):
-        k_blk = k_ref[pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        k_blk = k_ref[pl.ds(j * block_k, block_k), :]
+        v_blk = v_ref[pl.ds(j * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -249,7 +519,7 @@ def _bwd_dq_kernel(
             do, v_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        ds = p * (dp - dsum)
+        ds = (p * (dp - dsum)).astype(k_blk.dtype)
         return dq_acc + jax.lax.dot_general(
             ds, k_blk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -274,15 +544,16 @@ def _bwd_dkv_kernel(
     s_pad = q_ref.shape[0]
     num_q_blocks = s_pad // block_q
 
-    k = k_ref[...].astype(jnp.float32)
-    v = v_ref[...].astype(jnp.float32)
+    # bf16 into the MXU, fp32 accumulate — see the forward kernel's note.
+    k = k_ref[...]
+    v = v_ref[...]
     col_ids = k_offset + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
     start_i = jax.lax.div(k_offset, block_q)
 
     def body(i, carry):
         dk_acc, dv_acc = carry
-        q_blk = q_ref[pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        do_blk = do_ref[pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        q_blk = q_ref[pl.ds(i * block_q, block_q), :]
+        do_blk = do_ref[pl.ds(i * block_q, block_q), :]
         lse = lse_ref[pl.ds(i * block_q, block_q), :1]
         dsum = dsum_ref[pl.ds(i * block_q, block_q), :1]
         s = jax.lax.dot_general(
@@ -297,14 +568,14 @@ def _bwd_dkv_kernel(
             mask = jnp.logical_or(mask, row_ids - col_ids >= window)
         p = jnp.where(mask, 0.0, jnp.exp(s - lse))
         dv_acc = dv_acc + jax.lax.dot_general(
-            p, do_blk, (((0,), (0,)), ((), ())),
+            p.astype(do_blk.dtype), do_blk, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         dp = jax.lax.dot_general(
             do_blk, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        ds = p * (dp - dsum)
+        ds = (p * (dp - dsum)).astype(q_blk.dtype)
         dk_acc = dk_acc + jax.lax.dot_general(
             ds, q_blk, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -321,6 +592,8 @@ def _flash_backward(
     q, k, v, out, lse_flat, g, window, block_q, block_k, interpret
 ):
     b, h, s, d = q.shape
+    if _round_up(s, 128) <= WHOLE_ROW_MAX_SEQ:
+        return _wr_backward(q, k, v, out, lse_flat, g, window, interpret)
     block_q = min(block_q, s)
     block_k = min(block_k, s)
     s_pad = lse_flat.shape[1]

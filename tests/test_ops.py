@@ -80,6 +80,40 @@ class TestAttention:
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
+    @pytest.mark.parametrize("seq", [256, 320])
+    def test_loop_kernels_match_reference(self, seq, monkeypatch):
+        """The online-softmax loop kernels (long-seq path) stay correct for
+        values AND grads even though short seqs now route to whole-row —
+        forced here by dropping the dispatch threshold."""
+        from dalle_mtf_tpu.ops import attention as attn_mod
+
+        monkeypatch.setattr(attn_mod, "WHOLE_ROW_MAX_SEQ", 0)
+        b, h, d = 2, 2, 128
+        ks = jax.random.split(jax.random.PRNGKey(3), 4)
+        q, k, v = (jax.random.normal(kk, (b, h, seq, d), jnp.float32) for kk in ks[:3])
+        g = jax.random.normal(ks[3], (b, h, seq, d), jnp.float32)
+
+        def loss_flash(q_, k_, v_):
+            return (causal_attention(
+                q_, k_, v_, block_q=128, block_k=128,
+                use_pallas=True, interpret=True,
+            ) * g).sum()
+
+        def loss_ref(q_, k_, v_):
+            return (attention_reference(q_, k_, v_, causal=True) * g).sum()
+
+        out = causal_attention(
+            q, k, v, block_q=128, block_k=128, use_pallas=True, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(attention_reference(q, k, v, True)),
+            atol=2e-5,
+        )
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4)
+
     def test_pallas_matches_reference_local_window(self):
         b, h, seq, d = 1, 2, 256, 128
         ks = jax.random.split(jax.random.PRNGKey(7), 3)
