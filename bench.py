@@ -28,7 +28,11 @@ import optax
 BASELINE_TOKENS_PER_SEC_CHIP = 24_500.0
 
 # per-chip batch: sized for one v5e/v5p chip's HBM at dalle_coco scale
-PER_CHIP_BATCH = 16
+# (overridable for sweeps: BENCH_BATCH / BENCH_REMAT_POLICY env vars)
+import os  # noqa: E402
+
+PER_CHIP_BATCH = int(os.environ.get("BENCH_BATCH", 16))
+REMAT_POLICY = os.environ.get("BENCH_REMAT_POLICY", "dots_saveable")
 WARMUP_STEPS = 3
 BENCH_STEPS = 10
 
@@ -50,6 +54,7 @@ def main():
         n_heads=8,
         bf_16=True,
         recompute_grad=True,  # dalle_coco sets it; needed for batch 16/chip
+        remat_policy=REMAT_POLICY,
     )
     model = DALLE(cfg)
     batch = PER_CHIP_BATCH * n_chips

@@ -1,0 +1,96 @@
+"""End-to-end train-step benchmark: the REAL Trainer.train_step at
+dalle_coco scale, including on-device frozen-VAE tokenization of 256px
+images (the path production training actually runs), on synthetic data.
+
+bench.py's headline times a bare model-level step on pre-made tokens; this
+harness corroborates it by construction — same Trainer, same task closure,
+same config knobs as `python train_dalle.py --model dalle_coco`, minus the
+input pipeline (synthetic device-resident batch) so it isolates device work.
+
+Prints ONE JSON line (tokens/sec/chip over the combined 1280-token seq).
+"""
+
+from __future__ import annotations
+
+import json
+import tempfile
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PER_CHIP_BATCH = 16
+WARMUP_STEPS = 3
+BENCH_STEPS = 10
+
+
+def main():
+    from dalle_mtf_tpu.models.vae import DiscreteVAE, VAEConfig
+    from dalle_mtf_tpu.parallel.mesh import build_mesh
+    from dalle_mtf_tpu.train.tasks import make_dalle_task
+    from dalle_mtf_tpu.train.trainer import Trainer
+    from dalle_mtf_tpu.utils.config import fetch_model_params
+
+    n_chips = jax.device_count()
+    batch = PER_CHIP_BATCH * n_chips
+    params = fetch_model_params("dalle_coco")
+    params["train_batch_size"] = batch
+    params["mesh_shape"] = f"data:{n_chips}"
+    params["layout"] = "batch_dim:data"
+
+    mesh = build_mesh(params["mesh_shape"])
+    vae_cfg = VAEConfig.from_params(params["vae_params"])
+    vae_params = jax.jit(DiscreteVAE(vae_cfg).init)(jax.random.PRNGKey(7))
+    dalle, _vae, init_fn, loss_fn, _ev, axes = make_dalle_task(params)
+    seq = dalle.cfg.total_seq_len
+
+    rng = np.random.RandomState(0)
+    size = params["dataset"]["image_size"]
+    batch_data = {
+        "image": jnp.asarray(
+            rng.uniform(-1, 1, (batch, size, size, 3)).astype(np.float32)
+        ),
+        "caption": jnp.asarray(
+            rng.randint(0, params["text_vocab_size"], (batch, dalle.cfg.text_seq_len))
+            .astype(np.int32)
+        ),
+    }
+
+    with tempfile.TemporaryDirectory() as tmp:
+        trainer = Trainer(
+            params, init_fn, loss_fn, axes,
+            model_dir=tmp, seq_len=seq, frozen_params=vae_params, mesh=mesh,
+        )
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        key = jax.random.PRNGKey(1)
+        for i in range(WARMUP_STEPS):
+            state, metrics = trainer.train_step(
+                state, batch_data, jax.random.fold_in(key, i)
+            )
+        float(jax.device_get(metrics["loss"]))  # force (block_until_ready
+        # does not synchronize on tunneled runtimes)
+
+        t0 = time.perf_counter()
+        for i in range(BENCH_STEPS):
+            state, metrics = trainer.train_step(
+                state, batch_data, jax.random.fold_in(key, 100 + i)
+            )
+        float(jax.device_get(metrics["loss"]))
+        dt = time.perf_counter() - t0
+
+    tokens_per_sec_chip = batch * seq * BENCH_STEPS / dt / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "dalle_coco_e2e_trainer_step_tokens_per_sec_per_chip",
+                "value": round(tokens_per_sec_chip, 1),
+                "unit": "tokens/sec/chip",
+                "vs_baseline": round(tokens_per_sec_chip / 24_500.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -69,10 +69,24 @@ class DalleConfig:
     # activation for the MLP: the reference's DALLE takes an activation_fn
     # arg defaulting to relu (models.py:147, 178-180)
     activation: str = "relu"  # | "gelu" | "swish"
-    # remat policy when recompute_grad is on: "dots_saveable" keeps matmul
-    # outputs (fastest, ~17% over full remat at dalle_coco scale on v5e);
-    # "nothing_saveable" is full recompute (lowest memory, for the biggest
-    # models). The reference only had the all-or-nothing mtf.recompute_grad.
+    # remat policy when recompute_grad is on. The reference only had the
+    # all-or-nothing mtf.recompute_grad; these are graded:
+    #   "save_attn"        — keep projection outputs AND the Pallas attention
+    #                        kernel's out+lse (never re-run the flash forward
+    #                        in backward); drops the 4x-wide mlp1 hidden.
+    #   "dots_saveable"    — keep all matmul outputs (but the attention
+    #                        kernel, opaque to dot policies, re-runs in bwd).
+    #   "dots_except_mlp1" — dots_saveable minus the mlp1 hidden (the
+    #                        single biggest residual, [L, B, S, 4E]).
+    #   "save_attn_lean"   — only attention out+lse and mlp2 (lowest memory
+    #                        short of full recompute; projections re-run).
+    #   "nothing_saveable" — full recompute (biggest models).
+    # Measured at dalle_coco scale on v5e (BENCH.md): dots_saveable@16 wins
+    # (79.7k tok/s) — the remat'd attention forward overlaps into the
+    # backward, so eliding it (save_attn, 76.4k) doesn't pay for the mlp1
+    # recompute, and the memory-lean policies' bigger batch (24) nets out
+    # slower (74.5k). save_attn* remain config options for memory-bound
+    # (12B-class) models.
     remat_policy: str = "dots_saveable"
 
     @classmethod
@@ -367,12 +381,24 @@ class DALLE:
             return self._block(p, x_, r, train, constrain), None
 
         if cfg.recompute_grad and train:
-            if cfg.remat_policy == "dots_except_mlp1":
+            named = {
                 # save projection outputs but recompute the 4x-wide mlp1
                 # hidden (the single biggest residual: [L, B, S, 4E]) — one
                 # cheap matmul+relu re-run buys ~40% of the remat memory back
+                "dots_except_mlp1": ("qkv", "attn_proj", "mlp2"),
+                # ...plus the attention kernel's own outputs, so the flash
+                # forward is never re-run inside the backward pass (dot-based
+                # policies can't see inside a pallas_call)
+                "save_attn": ("qkv", "attn_out", "attn_lse", "attn_proj",
+                              "mlp2"),
+                # lowest memory short of full recompute: re-run the qkv/out
+                # projections and mlp1, keep only the attention kernel's
+                # outputs and mlp2
+                "save_attn_lean": ("attn_out", "attn_lse", "mlp2"),
+            }
+            if cfg.remat_policy in named:
                 policy = jax.checkpoint_policies.save_only_these_names(
-                    "qkv", "attn_proj", "mlp2"
+                    *named[cfg.remat_policy]
                 )
             else:
                 policy = getattr(jax.checkpoint_policies, cfg.remat_policy)

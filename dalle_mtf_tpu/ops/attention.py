@@ -203,8 +203,11 @@ def _wr_pick_block(s128: int, n_f32_bufs: int, budget: int = 8 << 20):
 
 
 def _wr_mask(s_pad: int, seq_len: int, window) -> jax.Array:
-    """bool [s_pad, s_pad]: True = masked. Built once per call (XLA CSEs it
-    across layers); replaces per-block iota+compare inside the kernels."""
+    """int8 [s_pad, s_pad]: nonzero = masked. Built once per call (XLA CSEs
+    it across layers); replaces per-block iota+compare inside the kernels.
+    int8 (not bool) because bool operands lower to s32 on the TPU custom-call
+    boundary — 4x the stack VMEM, enough to blow the 16 MB scoped limit when
+    the kernel sits inside a remat'd scan body."""
     row = jax.lax.broadcasted_iota(jnp.int32, (s_pad, s_pad), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (s_pad, s_pad), 1)
     m = col > row
@@ -212,7 +215,7 @@ def _wr_mask(s_pad: int, seq_len: int, window) -> jax.Array:
         m = jnp.logical_or(m, col >= seq_len)
     if window is not None:
         m = jnp.logical_or(m, row - col >= window)
-    return m
+    return m.astype(jnp.int8)
 
 
 def _wr_fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref=None):
@@ -229,7 +232,7 @@ def _wr_fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref=None):
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale  # [block, S]
-    s = jnp.where(mask_ref[...], NEG_INF, s)
+    s = jnp.where(mask_ref[...] != 0, NEG_INF, s)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
@@ -321,7 +324,7 @@ def _wr_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
         preferred_element_type=jnp.float32,
     ) * scale  # [block, S]
     p = jnp.exp(s - lse_ref[:, :1])
-    p = jnp.where(mask_ref[...], 0.0, p)
+    p = jnp.where(mask_ref[...] != 0, 0.0, p)
     dp = jax.lax.dot_general(
         dob_ref[...], v_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -339,7 +342,7 @@ def _wr_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
         preferred_element_type=jnp.float32,
     ) * scale  # [block, S]
     pT = jnp.exp(sT - lse_row_ref[0:1, :])
-    pT = jnp.where(maskT_ref[...], 0.0, pT)
+    pT = jnp.where(maskT_ref[...] != 0, 0.0, pT)
     dv = jax.lax.dot_general(
         pT.astype(do_ref.dtype), do_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -686,12 +689,21 @@ def _flash_fwd(
     q, k, v, window, block_q, block_k, bwd_block_q, bwd_block_k, interpret,
     bwd_impl,
 ):
+    from jax.ad_checkpoint import checkpoint_name  # noqa: PLC0415
+
     if bwd_impl == "pallas":
         out, lse = _flash_forward(
             q, k, v, window, block_q, block_k, interpret, with_lse=True
         )
+        # Name the kernel's outputs so jax.checkpoint policies can KEEP them
+        # (save_only_these_names("attn_out", "attn_lse", ...)) — then the
+        # flash forward is not re-run during the backward pass under remat,
+        # unlike dot-based policies which cannot see inside a pallas_call.
+        out = checkpoint_name(out, "attn_out")
+        lse = checkpoint_name(lse, "attn_lse")
         return out, (q, k, v, out, lse)
     out = _flash_forward(q, k, v, window, block_q, block_k, interpret)
+    out = checkpoint_name(out, "attn_out")
     return out, (q, k, v, None, None)
 
 

@@ -86,6 +86,25 @@ class TestDalleForward:
         for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
+    @pytest.mark.parametrize(
+        "policy", ["dots_except_mlp1", "save_attn", "save_attn_lean"]
+    )
+    def test_named_remat_policies_match(self, policy):
+        """Every graded remat policy (incl. the ones that keep the Pallas
+        attention kernel's named out/lse and elide its re-run) produces the
+        same gradients as no-remat."""
+        tokens = _tokens(jax.random.PRNGKey(1))
+        cfg_r = DalleConfig(
+            n_embd=64, text_vocab_size=50, image_vocab_size=20,
+            text_seq_len=8, image_seq_len=16, n_layers=2, n_heads=2,
+            recompute_grad=True, remat_policy=policy,
+        )
+        params = DALLE(CFG).init(jax.random.PRNGKey(0))
+        g1 = jax.grad(lambda p: DALLE(CFG).loss(p, tokens, train=True)[0])(params)
+        g2 = jax.grad(lambda p: DALLE(cfg_r).loss(p, tokens, train=True)[0])(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
 
 class TestIncrementalDecode:
     def test_prefill_then_decode_matches_parallel_forward(self):
