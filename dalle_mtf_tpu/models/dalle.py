@@ -59,8 +59,15 @@ class DalleConfig:
     n_heads: int = 8
     bf_16: bool = False
     recompute_grad: bool = False
-    attention_type: str = "global"  # "global" | "local"
+    attention_type: str = "global"  # "global" | "local" | "ring"
     local_attention_radius: int = 256  # reference default (models.py:259)
+    # mesh axes for attention_type "ring" (sequence parallelism) — taken
+    # from the config's layout rules when built via from_params: the
+    # sequence dim rides rules["total_seq_dim"], batch rules["batch_dim"],
+    # heads rules["heads_dim"], so DP x TP x SP compose in one step
+    ring_seq_axis: str = "seq"
+    ring_batch_axis: str | None = "data"
+    ring_heads_axis: str | None = None
     embed_dropout: float = 0.0
     attention_dropout: float = 0.0
     residual_dropout: float = 0.0
@@ -93,7 +100,13 @@ class DalleConfig:
     def from_params(
         cls, params: Mapping[str, Any], image_seq_len: int
     ) -> "DalleConfig":
+        from dalle_mtf_tpu.parallel.mesh import parse_layout  # noqa: PLC0415
+
+        rules = parse_layout(params.get("layout") if hasattr(params, "get") else None)
         return cls(
+            ring_seq_axis=rules.get(SEQ) or "seq",
+            ring_batch_axis=rules.get(BATCH) or "data",
+            ring_heads_axis=rules.get(HEADS),
             n_embd=params["n_embd"],
             text_vocab_size=params["text_vocab_size"],
             image_vocab_size=params["image_vocab_size"],
@@ -332,6 +345,21 @@ class DALLE:
             a = attention_reference(
                 q, k, v, causal=True, window=window,
                 dropout_rate=cfg.attention_dropout, dropout_rng=r_attn,
+            )
+        elif cfg.attention_type == "ring":
+            # sequence-parallel attention: k/v shards rotate over the mesh
+            # axis mapped by the total_seq_dim layout rule (ICI ppermute
+            # ring); identical math to global attention, so sampling and
+            # single-device eval fall back to the fused kernel
+            from dalle_mtf_tpu.ops.ring_attention import (  # noqa: PLC0415
+                ring_attention_auto,
+            )
+
+            a = ring_attention_auto(
+                q, k, v,
+                seq_axis=cfg.ring_seq_axis,
+                batch_axis=cfg.ring_batch_axis,
+                heads_axis=cfg.ring_heads_axis,
             )
         else:
             a = causal_attention(q, k, v, window=window)

@@ -108,6 +108,80 @@ def ring_attention(
     return out.astype(q.dtype)
 
 
+def ambient_mesh():
+    """The mesh currently in scope, or None.
+
+    Checks the new-style context mesh (``jax.set_mesh``) first, then the
+    legacy ``with mesh:`` context the Trainer uses around its jitted steps.
+    """
+    try:
+        am = jax.sharding.get_abstract_mesh()
+        if am is not None and am.axis_names:
+            return am
+    except Exception:  # pragma: no cover - API drift
+        pass
+    try:
+        from jax._src.mesh import thread_resources  # noqa: PLC0415
+
+        m = thread_resources.env.physical_mesh
+        if m.axis_names:
+            return m
+    except Exception:  # pragma: no cover - API drift
+        pass
+    return None
+
+
+def ring_attention_auto(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    seq_axis: str = "seq",
+    batch_axis: str | None = "data",
+    heads_axis: str | None = None,
+    causal: bool = True,
+) -> jax.Array:
+    """Ring attention resolved against the ambient mesh.
+
+    This is the model-facing entry (``attention_type: "ring"`` routes DALLE
+    blocks here): q/k/v arrive as ordinary [B, H, S, D] arrays inside the
+    jitted step; the ring runs in a ``shard_map`` whose specs put the batch
+    dim on ``batch_axis`` (DP), heads on ``heads_axis`` (TP) and the
+    sequence on ``seq_axis`` (SP) — so DPxTPxSP compose in one step. When no
+    mesh with ``seq_axis`` is in scope (single-device tests, sampling), it
+    degrades to the fused single-device kernel, which computes the identical
+    function.
+    """
+    mesh = ambient_mesh()
+    if (
+        mesh is None
+        or seq_axis not in mesh.axis_names
+        or mesh.shape[seq_axis] == 1
+    ):
+        from dalle_mtf_tpu.ops.attention import causal_attention  # noqa: PLC0415
+
+        return causal_attention(q, k, v)
+    s = q.shape[2]
+    n = mesh.shape[seq_axis]
+    if s % n != 0:
+        raise ValueError(
+            f"ring attention: seq len {s} not divisible by mesh axis "
+            f"{seq_axis!r} of size {n}"
+        )
+    from jax import shard_map  # noqa: PLC0415
+    from jax.sharding import PartitionSpec as P  # noqa: PLC0415
+
+    ba = batch_axis if batch_axis in mesh.axis_names else None
+    ha = heads_axis if heads_axis in mesh.axis_names else None
+    spec = P(ba, ha, seq_axis, None)
+    fn = shard_map(
+        partial(ring_attention, axis_name=seq_axis, causal=causal),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+    )
+    return fn(q, k, v)
+
+
 def ring_attention_sharded(q, k, v, mesh, seq_axis: str = "seq", causal: bool = True):
     """Convenience wrapper: shard_map ring_attention over ``mesh[seq_axis]``.
 
