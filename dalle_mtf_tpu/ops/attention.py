@@ -193,9 +193,15 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _wr_pick_block(s128: int, n_f32_bufs: int, budget: int = 8 << 20):
+def _wr_pick_block(s128: int, n_f32_bufs: int, itemsize: int = 2):
     """Largest 128-multiple row-block whose n_f32_bufs [block, s_pad] fp32
-    score buffers fit the VMEM budget. Returns (block, s_pad)."""
+    score buffers fit the VMEM budget. Returns (block, s_pad).
+
+    fp32 inputs (itemsize 4) double every operand on the kernel's VMEM
+    stack, so their budget is much tighter — the fp32 path is a
+    correctness/debug arm (precision A/B), not the production path.
+    """
+    budget = (8 << 20) if itemsize <= 2 else (7 << 19)
     total = 4 * s128 * s128 * n_f32_bufs
     n_blocks = max(1, -(-total // budget))
     block = _round_up(-(-s128 // n_blocks), 128)
@@ -252,7 +258,9 @@ def _wr_fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref=None):
 
 def _wr_forward(q, k, v, window, interpret: bool, with_lse: bool = False):
     b, h, s, d = q.shape
-    block_q, s_pad = _wr_pick_block(_round_up(s, 128), n_f32_bufs=1)
+    block_q, s_pad = _wr_pick_block(
+        _round_up(s, 128), n_f32_bufs=1, itemsize=q.dtype.itemsize
+    )
     bh = b * h
     qf = _pad_seq(q, s_pad).reshape(bh, s_pad, d)
     kf = _pad_seq(k, s_pad).reshape(bh, s_pad, d)
@@ -363,7 +371,9 @@ def _wr_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
 def _wr_backward(q, k, v, out, lse_flat, g, window, interpret: bool):
     b, h, s, d = q.shape
     bh = b * h
-    block, s_pad = _wr_pick_block(_round_up(s, 128), n_f32_bufs=2)
+    block, s_pad = _wr_pick_block(
+        _round_up(s, 128), n_f32_bufs=2, itemsize=q.dtype.itemsize
+    )
 
     # normalize the forward's lse padding to this pass's s_pad (padded rows
     # only ever meet do == 0, so any finite fill is safe)

@@ -106,6 +106,7 @@ class Trainer:
         self.frozen_params = frozen_params
         self.writer = MetricsWriter(self.model_dir)
         self._train_step = None
+        self._train_multi_fn = None
         self._eval_step = None
         self._ckpt_mngr = None
 
@@ -161,7 +162,7 @@ class Trainer:
 
     # ------------------------------------------------------------ train step
 
-    def _build_train_step(self):
+    def _raw_step_fn(self):
         opt = self.opt
         num_mb = self.num_mb
         loss_fn = self.loss_fn
@@ -246,7 +247,31 @@ class Trainer:
             }
             return new_state, metrics
 
-        return jax.jit(step_fn, donate_argnums=(0,))
+        return step_fn
+
+    def _build_train_step(self):
+        return jax.jit(self._raw_step_fn(), donate_argnums=(0,))
+
+    def _build_train_multi(self):
+        """K training steps in ONE compiled program (lax.scan over pre-staged
+        batches) — the reference's ``iterations_per_loop`` device loop
+        (train_dalle.py:62-66). Async dispatch already keeps the device busy;
+        this additionally removes the per-step host dispatch + next(data)
+        from the critical path (worth several ms/step on tunneled runtimes).
+        Returns the LAST step's metrics, like the reference which only
+        surfaced host_call output at loop boundaries."""
+        step_fn = self._raw_step_fn()
+
+        def multi_fn(state, frozen, batches, rng_base):
+            def body(st, mb):
+                r = jax.random.fold_in(rng_base, st["step"])
+                return step_fn(st, frozen, mb, r)
+
+            state, ms = jax.lax.scan(body, state, batches)
+            last = jax.tree_util.tree_map(lambda x: x[-1], ms)
+            return state, last
+
+        return jax.jit(multi_fn, donate_argnums=(0,))
 
     def _build_eval_step(self):
         eval_loss_fn = self.eval_loss_fn
@@ -283,6 +308,39 @@ class Trainer:
         batch = self._put_batch(batch)
         with self.mesh:
             return self._train_step(state, self.frozen_params, batch, rng)
+
+    def _put_batches(self, batches):
+        """Stack K host batches to [K, B, ...] and place them with the
+        microstep dim replicated, batch dim sharded (per-host shards on
+        multi-host, same as _put_batch)."""
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs]), *batches
+        )
+        sharding = NamedSharding(
+            self.mesh,
+            PartitionSpec(None, self.rules.get("batch_dim", "data")),
+        )
+        if jax.process_count() == 1:
+            return jax.device_put(stacked, sharding)
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sharding, x),
+            stacked,
+        )
+
+    def train_multi(self, state, batches, rng_base):
+        """Run ``len(batches)`` steps in one compiled device loop.
+
+        ``rng_base`` is the same base key ``run()`` folds per step — the
+        fold happens inside the scan body by the carried step counter, so a
+        multi-step chunk reproduces the exact sequence of single steps.
+        """
+        if self._train_multi_fn is None:
+            self._train_multi_fn = self._build_train_multi()
+        staged = self._put_batches(batches)
+        with self.mesh:
+            return self._train_multi_fn(
+                state, self.frozen_params, staged, rng_base
+            )
 
     def eval_step(self, state, batch, rng):
         if self._eval_step is None:
@@ -376,30 +434,48 @@ class Trainer:
         )
 
         step_rng = jax.random.fold_in(rng, 1)
+        # device-loop length: the reference ran "iterations" steps per host
+        # round-trip (train_dalle.py:62-66). Async dispatch already keeps
+        # the device busy; chunks > 1 additionally take the per-step host
+        # dispatch + next(data_iter) off the critical path via train_multi.
+        # Capped so the staged [K, B, ...] super-batch stays modest.
+        iterations = min(int(p.get("iterations") or 1), 32)
         t0 = time.time()
         window_start_step = start
-        for step in range(start, train_steps):
-            batch = next(data_iter)
-            # async dispatch: fetching metrics only happens on log steps, so
-            # the device runs ahead of the host (the reference needed
-            # iterations_per_loop infeed loops for this, train_dalle.py:62-66)
-            state, metrics = self.train_step(
-                state, batch, jax.random.fold_in(step_rng, step)
-            )
-            if (step + 1) % log_every == 0 or step == start:
-                m = {k: float(jax.device_get(v)) for k, v in metrics.items()}
+        step = start
+        first = True
+        while step < train_steps:
+            next_log = (step // log_every + 1) * log_every
+            next_ckpt = (step // steps_per_ckpt + 1) * steps_per_ckpt
+            k = min(iterations, next_log - step, next_ckpt - step,
+                    train_steps - step)
+            if first:
+                k = 1  # surface the first step's metrics immediately
+            if k > 1:
+                batches = [next(data_iter) for _ in range(k)]
+                state, metrics = self.train_multi(state, batches, step_rng)
+            else:
+                # async dispatch: fetching metrics only happens on log
+                # steps, so the device runs ahead of the host
+                state, metrics = self.train_step(
+                    state, next(data_iter), jax.random.fold_in(step_rng, step)
+                )
+            step += k
+            if step % log_every == 0 or first:
+                first = False
+                m = {k_: float(jax.device_get(v)) for k_, v in metrics.items()}
                 now = time.time()
-                steps_done = step + 1 - window_start_step
+                steps_done = step - window_start_step
                 sps = steps_done / max(now - t0, 1e-9)
-                t0, window_start_step = now, step + 1
-                self.writer.scalars(step + 1, {**m, "steps_per_sec": sps})
+                t0, window_start_step = now, step
+                self.writer.scalars(step, {**m, "steps_per_sec": sps})
                 logger.info(
                     "step %d loss %.5f lr %.2e grad_norm %.3f %.2f steps/s",
-                    step + 1, m.get("loss", float("nan")),
+                    step, m.get("loss", float("nan")),
                     m.get("lr", 0.0), m.get("grad_norm", 0.0), sps,
                 )
 
-            if (step + 1) % steps_per_ckpt == 0 or (step + 1) == train_steps:
+            if step % steps_per_ckpt == 0 or step == train_steps:
                 self.save(state)
                 if eval_steps and eval_data_iter is not None:
                     eval_rng = jax.random.fold_in(rng, 2)
@@ -416,13 +492,13 @@ class Trainer:
                     means = {
                         f"eval_{k}": float(np.mean(v)) for k, v in sums.items()
                     }
-                    self.writer.scalars(step + 1, means)
+                    self.writer.scalars(step, means)
                     logger.info(
-                        "step %d %s", step + 1,
+                        "step %d %s", step,
                         " ".join(f"{k} {v:.5f}" for k, v in sorted(means.items())),
                     )
                 if summary_fn is not None:
-                    summary_fn(self, state, step + 1)
+                    summary_fn(self, state, step)
         self.wait_for_checkpoints()
         return state
 

@@ -246,6 +246,87 @@ class TestTrainerDalle:
         t2.close()
 
 
+class TestDeviceLoop:
+    def test_train_multi_matches_sequential_steps(self, tmp_path):
+        """K steps in one compiled device loop (train_multi — the
+        reference's iterations_per_loop) reproduce K sequential train_step
+        calls exactly: same folded rngs, same final params."""
+        from dalle_mtf_tpu.models.vae import DiscreteVAE, VAEConfig
+
+        vae_cfg = VAEConfig.from_params(DALLE_PARAMS["vae_params"])
+        vae_params = DiscreteVAE(vae_cfg).init(jax.random.PRNGKey(7))
+        dalle, _v, init_fn, loss_fn, _e, axes = make_dalle_task(DALLE_PARAMS)
+
+        def mk(tag):
+            return Trainer(
+                DALLE_PARAMS, init_fn, loss_fn, axes,
+                model_dir=str(tmp_path / tag), seq_len=dalle.cfg.total_seq_len,
+                frozen_params=vae_params,
+            )
+
+        gen = _dalle_batches()
+        batches = [next(gen) for _ in range(4)]
+        rng_base = jax.random.PRNGKey(5)
+
+        t1 = mk("seq")
+        s1 = t1.init_state(jax.random.PRNGKey(0))
+        for i, b in enumerate(batches):
+            s1, m1 = t1.train_step(s1, b, jax.random.fold_in(rng_base, i))
+
+        t2 = mk("multi")
+        s2 = t2.init_state(jax.random.PRNGKey(0))
+        s2, m2 = t2.train_multi(s2, batches, rng_base)
+
+        assert int(jax.device_get(s2["step"])) == 4
+        np.testing.assert_allclose(
+            float(jax.device_get(m1["loss"])),
+            float(jax.device_get(m2["loss"])), rtol=1e-5,
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(s1["params"]),
+            jax.tree_util.tree_leaves(s2["params"]),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(jax.device_get(a)), np.asarray(jax.device_get(b)),
+                atol=1e-6,
+            )
+        t1.close()
+        t2.close()
+
+    def test_run_with_iterations_matches_single_step_loop(self, tmp_path):
+        """Trainer.run honoring "iterations" (device-loop chunks) lands on
+        the same final params as the per-step loop."""
+        from dalle_mtf_tpu.models.vae import DiscreteVAE, VAEConfig
+
+        vae_cfg = VAEConfig.from_params(DALLE_PARAMS["vae_params"])
+        vae_params = DiscreteVAE(vae_cfg).init(jax.random.PRNGKey(7))
+        dalle, _v, init_fn, loss_fn, _e, axes = make_dalle_task(DALLE_PARAMS)
+        base = DALLE_PARAMS.to_dict()
+
+        def run_with(iterations, tag):
+            p = Config.from_mapping(
+                {**base, "train_steps": 6, "steps_per_checkpoint": 6,
+                 "log_every": 3, "iterations": iterations}
+            )
+            tr = Trainer(
+                p, init_fn, loss_fn, axes,
+                model_dir=str(tmp_path / tag), seq_len=dalle.cfg.total_seq_len,
+                frozen_params=vae_params,
+            )
+            state = tr.run(_dalle_batches(), jax.random.PRNGKey(0))
+            out = jax.device_get(state["params"])
+            tr.close()
+            return out
+
+        p_single = run_with(1, "it1")
+        p_multi = run_with(3, "it3")
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p_single),
+            jax.tree_util.tree_leaves(p_multi),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 class TestAuxMetrics:
     def test_aux_survives_microbatching(self, tmp_path):
         """Train-step aux scalars (loss_text/loss_image) must be reported
