@@ -433,6 +433,274 @@ def _wr_backward(q, k, v, out, lse_flat, g, window, interpret: bool):
     return unflat(dq), unflat(dk), unflat(dv)
 
 
+# ------------------------------------------------------------------- wedge
+# Causal-skip variant of the whole-row family: one pallas_call per q-block i
+# with a STATIC key extent (i+1)*block — q rows [i*b,(i+1)*b) attend keys
+# [0,(i+1)*b) only, so the upper-triangle blocks are never computed (~45% of
+# the matmul FLOPs and softmax VPU work at n=2). No loops, no VMEM scratch,
+# no precomputed mask input; measured 0.76 ms vs 0.97 ms whole-row fwd and
+# 2.69 ms vs 3.16 ms fused bwd at 16x8x1280x128 bf16 on v5e (dispatch
+# amortized over 100 in-jit calls — see BENCH.md on the microbench floor).
+
+WEDGE_MAX_BLOCK = 640  # largest per-call q-block (score row [block, S] fp32)
+
+
+def _wedge_layout(s: int) -> tuple[int, int, int]:
+    """(block, s_pad, n_calls): fewest ≤WEDGE_MAX_BLOCK-sized 128-multiple
+    blocks covering round_up(s, 128)."""
+    s128 = _round_up(s, 128)
+    n = -(-s128 // WEDGE_MAX_BLOCK)
+    block = _round_up(-(-s128 // n), 128)
+    return block, block * n, n
+
+
+def _wedge_k0(i: int, block: int, window) -> int:
+    """Static start of the key range for q-block i under a local window:
+    key blocks wholly below the band (col <= i*block - window for every
+    row) are skipped."""
+    if window is None:
+        return 0
+    return max(0, (i * block - window + 1) // block) * block
+
+
+def _wedge_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, i: int,
+                      block: int, k0: int, window, seq_len):
+    """q-block i against keys [k0, (i+1)*block): one-shot softmax over the
+    causal wedge. bf16 into the MXU, fp32 accumulate."""
+    d = q_ref.shape[-1]
+    scale = 1.0 / math.sqrt(d)
+    s_k = k_ref.shape[0]
+    s = jax.lax.dot_general(
+        q_ref[...], k_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    row = jax.lax.broadcasted_iota(jnp.int32, (block, s_k), 0) + i * block
+    col = jax.lax.broadcasted_iota(jnp.int32, (block, s_k), 1) + k0
+    mask = col > row
+    if seq_len is not None:
+        mask = jnp.logical_or(mask, col >= seq_len)
+    if window is not None:
+        mask = jnp.logical_or(mask, row - col >= window)
+    s = jnp.where(mask, NEG_INF, s)
+    # m init is implicitly NEG_INF (finite): a fully-masked row yields
+    # p == exp(0), finite lse, zero backward contribution (do rows are 0)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    l_safe = jnp.maximum(l, 1e-30)
+    o = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[...] = (o / l_safe).astype(o_ref.dtype)
+    if lse_ref is not None:
+        lse = m + jnp.log(l_safe)
+        lse_ref[...] = jnp.broadcast_to(lse, (block, LSE_LANES))
+
+
+def _wedge_forward(q, k, v, window, interpret: bool, with_lse: bool = False):
+    b, h, s, d = q.shape
+    block, s_pad, n_q = _wedge_layout(s)
+    bh = b * h
+    qf = _pad_seq(q, s_pad).reshape(bh, s_pad, d)
+    kf = _pad_seq(k, s_pad).reshape(bh, s_pad, d)
+    vf = _pad_seq(v, s_pad).reshape(bh, s_pad, d)
+
+    outs, lses = [], []
+    seq_len = s if s != s_pad else None
+    for i in range(n_q):
+        k0 = _wedge_k0(i, block, window)
+        s_k = (i + 1) * block - k0
+        out_shapes = [jax.ShapeDtypeStruct((bh, block, d), q.dtype)]
+        out_specs = [pl.BlockSpec((None, block, d), lambda b_: (b_, 0, 0))]
+        if with_lse:
+            out_shapes.append(
+                jax.ShapeDtypeStruct((bh, block, LSE_LANES), jnp.float32))
+            out_specs.append(
+                pl.BlockSpec((None, block, LSE_LANES), lambda b_: (b_, 0, 0)))
+        kern = functools.partial(_wedge_fwd_kernel, i=i, block=block, k0=k0,
+                                 window=window, seq_len=seq_len)
+        if not with_lse:
+            kern = functools.partial(
+                lambda q_, k_, v_, o_, kk: kk(q_, k_, v_, o_, None), kk=kern)
+        res = pl.pallas_call(
+            kern,
+            grid=(bh,),
+            in_specs=[
+                pl.BlockSpec((None, block, d), lambda b_, i=i: (b_, i, 0)),
+                pl.BlockSpec((None, s_k, d), lambda b_: (b_, 0, 0)),
+                pl.BlockSpec((None, s_k, d), lambda b_: (b_, 0, 0)),
+            ],
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * 2 * bh * block * s_k * d,
+                bytes_accessed=bh * (2 * s_k + 2 * block) * d
+                * q.dtype.itemsize,
+                transcendentals=bh * block * s_k,
+            ),
+            interpret=interpret,
+        )(qf, kf[:, k0:k0 + s_k], vf[:, k0:k0 + s_k])
+        res = res if isinstance(res, (list, tuple)) else [res]
+        outs.append(res[0])
+        if with_lse:
+            lses.append(res[1])
+    out = jnp.concatenate(outs, axis=1).reshape(b, h, s_pad, d)
+    if s_pad != s:
+        out = out[:, :, :s, :]
+    if with_lse:
+        return out, jnp.concatenate(lses, axis=1)
+    return out
+
+
+def _wedge_bwd_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, dsum_ref,
+                      lse_row_ref, dsum_row_ref, dq_ref, dk_ref, dv_ref,
+                      *, i: int, block: int, window, seq_len, s_pad: int):
+    """Block i's dQ (vs key prefix [0,(i+1)b)) and dK/dV (vs query suffix
+    [i*b, S)) in ONE program. k/v arrive as prefix views [(i+1)b, d]; q/do
+    arrive FULL and are sliced statically in-kernel (VMEM-resident — no
+    HBM slice copies). Scores are rematerialized; masked entries zeroed
+    after exp (select(inf) never yields NaN)."""
+    d = q_ref.shape[-1]
+    scale = 1.0 / math.sqrt(d)
+    i0 = i * block
+    s_pre = (i + 1) * block
+    s_suf = s_pad - i0
+
+    qb = q_ref[i0:s_pre, :]
+    dob = do_ref[i0:s_pre, :]
+
+    # ---- dQ half
+    row = jax.lax.broadcasted_iota(jnp.int32, (block, s_pre), 0) + i0
+    col = jax.lax.broadcasted_iota(jnp.int32, (block, s_pre), 1)
+    mask = col > row
+    if seq_len is not None:
+        mask = jnp.logical_or(mask, col >= seq_len)
+    if window is not None:
+        mask = jnp.logical_or(mask, row - col >= window)
+    s = jax.lax.dot_general(
+        qb, k_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    p = jnp.where(mask, 0.0, jnp.exp(s - lse_ref[:, :1]))
+    dp = jax.lax.dot_general(
+        dob, v_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = (p * (dp - dsum_ref[:, :1])).astype(k_ref.dtype)
+    dq = jax.lax.dot_general(
+        ds, k_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dq_ref[...] = (dq * scale).astype(dq_ref.dtype)
+
+    # ---- dK/dV half (key block i vs query suffix)
+    kb = k_ref[i0:s_pre, :]
+    vb = v_ref[i0:s_pre, :]
+    qsuf = q_ref[i0:, :]
+    dosuf = do_ref[i0:, :]
+    krow = jax.lax.broadcasted_iota(jnp.int32, (block, s_suf), 0) + i0
+    qcol = jax.lax.broadcasted_iota(jnp.int32, (block, s_suf), 1) + i0
+    maskT = krow > qcol
+    if seq_len is not None:
+        maskT = jnp.logical_or(maskT, krow >= seq_len)
+    if window is not None:
+        maskT = jnp.logical_or(maskT, qcol - krow >= window)
+    sT = jax.lax.dot_general(
+        kb, qsuf, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    pT = jnp.where(maskT, 0.0, jnp.exp(sT - lse_row_ref[0:1, i0:]))
+    dv = jax.lax.dot_general(
+        pT.astype(dosuf.dtype), dosuf, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dv_ref[...] = dv.astype(dv_ref.dtype)
+    dpT = jax.lax.dot_general(
+        vb, dosuf, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dsT = (pT * (dpT - dsum_row_ref[0:1, i0:])).astype(qsuf.dtype)
+    dk = jax.lax.dot_general(
+        dsT, qsuf, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dk_ref[...] = (dk * scale).astype(dk_ref.dtype)
+
+
+def _wedge_backward(q, k, v, out, lse_flat, g, window, interpret: bool):
+    b, h, s, d = q.shape
+    bh = b * h
+    block, s_pad, n_blk = _wedge_layout(s)
+
+    # normalize the forward's lse padding to this pass's s_pad
+    lse = lse_flat
+    if lse.shape[1] < s_pad:
+        lse = jnp.pad(lse, ((0, 0), (0, s_pad - lse.shape[1]), (0, 0)))
+    elif lse.shape[1] > s_pad:
+        lse = lse[:, :s_pad, :]
+
+    dsum = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    dsum = _pad_seq(dsum[..., None], s_pad).reshape(bh, s_pad, 1)
+    dsum_flat = jnp.broadcast_to(dsum, (bh, s_pad, LSE_LANES))
+
+    qf = _pad_seq(q, s_pad).reshape(bh, s_pad, d)
+    kf = _pad_seq(k, s_pad).reshape(bh, s_pad, d)
+    vf = _pad_seq(v, s_pad).reshape(bh, s_pad, d)
+    gf = _pad_seq(g, s_pad).reshape(bh, s_pad, d)
+    lse_row = jnp.broadcast_to(lse[:, :, 0][:, None, :], (bh, LSE_ROWS, s_pad))
+    dsum_row = jnp.broadcast_to(dsum[:, :, 0][:, None, :],
+                                (bh, LSE_ROWS, s_pad))
+
+    dqs, dks, dvs = [], [], []
+    seq_len = s if s != s_pad else None
+    for i in range(n_blk):
+        s_pre = (i + 1) * block
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(_wedge_bwd_kernel, i=i, block=block,
+                              window=window, seq_len=seq_len, s_pad=s_pad),
+            grid=(bh,),
+            in_specs=[
+                pl.BlockSpec((None, s_pre, d), lambda b_: (b_, 0, 0)),
+                pl.BlockSpec((None, s_pre, d), lambda b_: (b_, 0, 0)),
+                pl.BlockSpec((None, s_pad, d), lambda b_: (b_, 0, 0)),
+                pl.BlockSpec((None, s_pad, d), lambda b_: (b_, 0, 0)),
+                pl.BlockSpec((None, block, LSE_LANES),
+                             lambda b_, i=i: (b_, i, 0)),
+                pl.BlockSpec((None, block, LSE_LANES),
+                             lambda b_, i=i: (b_, i, 0)),
+                pl.BlockSpec((None, LSE_ROWS, s_pad), lambda b_: (b_, 0, 0)),
+                pl.BlockSpec((None, LSE_ROWS, s_pad), lambda b_: (b_, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((None, block, d), lambda b_: (b_, 0, 0))
+            ] * 3,
+            out_shape=[jax.ShapeDtypeStruct((bh, block, d), q.dtype)] * 3,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+            interpret=interpret,
+        )(kf[:, :s_pre], vf[:, :s_pre], qf, gf, lse, dsum_flat,
+          lse_row, dsum_row)
+        dqs.append(dq)
+        dks.append(dk)
+        dvs.append(dv)
+
+    def unflat(parts):
+        x = jnp.concatenate(parts, axis=1).reshape(b, h, s_pad, d)
+        return x[:, :, :s, :] if s_pad != s else x
+
+    return unflat(dqs), unflat(dks), unflat(dvs)
+
+
+# Short-sequence kernel family: "wedge" (causal-skip, default) or "wr"
+# (whole-row). Overridable per-deployment via DALLE_TPU_ATTN_SHORT.
+import os as _os0  # noqa: E402
+
+SHORT_IMPL = _os0.environ.get("DALLE_TPU_ATTN_SHORT", "wedge")
+
+
 # ------------------------------------------------------------ loop dispatch
 
 def _flash_forward(
@@ -441,6 +709,8 @@ def _flash_forward(
 ):
     b, h, s, d = q.shape
     if _round_up(s, 128) <= WHOLE_ROW_MAX_SEQ:
+        if SHORT_IMPL == "wedge":
+            return _wedge_forward(q, k, v, window, interpret, with_lse)
         return _wr_forward(q, k, v, window, interpret, with_lse)
     block_q = min(block_q, s)
     block_k = min(block_k, s)
@@ -606,6 +876,9 @@ def _flash_backward(
 ):
     b, h, s, d = q.shape
     if _round_up(s, 128) <= WHOLE_ROW_MAX_SEQ:
+        if SHORT_IMPL == "wedge":
+            return _wedge_backward(q, k, v, out, lse_flat, g, window,
+                                   interpret)
         return _wr_backward(q, k, v, out, lse_flat, g, window, interpret)
     block_q = min(block_q, s)
     block_k = min(block_k, s)
