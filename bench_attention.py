@@ -9,6 +9,12 @@ measurement therefore chains N_CHAIN calls inside ONE jit via lax.scan
 (carrying a value-preserving q + out*1e-30 perturbation so nothing is CSE'd
 away and inputs stay numerically healthy), and fetches once at the end.
 
+N_CHAIN must be LARGE: at N_CHAIN=10 the residual dispatch overhead still
+adds ~1.3 ms/call (a copy-only kernel "measured" 1.32 ms; the harness step
+alone 0.18 ms at N_CHAIN=100) — every round-1 kernel number carried that
+floor. N_CHAIN=100 amortizes it to ~0.13 ms; numbers below are true kernel
+costs to ~0.05 ms.
+
 Usage: python bench_attention.py [--impl pallas|xla|both] [--fwd-only]
 """
 
@@ -21,8 +27,8 @@ import jax
 import jax.numpy as jnp
 
 B, H, S, D = 16, 8, 1280, 128
-N_CHAIN = 10
-ITERS = 3
+N_CHAIN = 100
+ITERS = 2
 
 
 def causal_flops(bwd: bool) -> float:

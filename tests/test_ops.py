@@ -184,3 +184,63 @@ class TestAttention:
                     np.asarray(a), np.asarray(b_), atol=5e-4,
                     err_msg=f"seq={seq} window={window}",
                 )
+
+
+class TestWedgeKernels:
+    """The wedge family (default short-seq path) at sizes that exercise
+    MULTIPLE per-q-block calls (seq > WEDGE_MAX_BLOCK), including ragged
+    padding and local windows, plus the selectable whole-row family."""
+
+    @pytest.mark.parametrize("seq,window", [(768, None), (768, 200), (700, None)])
+    def test_multicall_value_and_grad(self, seq, window):
+        from dalle_mtf_tpu.ops import attention as attn_mod
+
+        block, s_pad, n = attn_mod._wedge_layout(seq)
+        assert n >= 2, "shape must exercise multiple wedge calls"
+        b, h, d = 1, 2, 128
+        ks = jax.random.split(jax.random.PRNGKey(11), 4)
+        q, k, v = (jax.random.normal(kk, (b, h, seq, d), jnp.float32)
+                   for kk in ks[:3])
+        g = jax.random.normal(ks[3], (b, h, seq, d), jnp.float32)
+
+        ref = attention_reference(q, k, v, causal=True, window=window)
+        out = causal_attention(
+            q, k, v, window=window, use_pallas=True, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+        gf = jax.grad(
+            lambda *a: (causal_attention(
+                *a, window=window, use_pallas=True, interpret=True) * g).sum(),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        gr = jax.grad(
+            lambda *a: (attention_reference(
+                *a, causal=True, window=window) * g).sum(),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        for a, b_ in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4)
+
+    def test_whole_row_family_still_selectable(self, monkeypatch):
+        from dalle_mtf_tpu.ops import attention as attn_mod
+
+        monkeypatch.setattr(attn_mod, "SHORT_IMPL", "wr")
+        b, h, seq, d = 1, 2, 256, 128
+        ks = jax.random.split(jax.random.PRNGKey(13), 3)
+        q, k, v = (jax.random.normal(kk, (b, h, seq, d), jnp.float32)
+                   for kk in ks)
+        ref = attention_reference(q, k, v, causal=True)
+        out = causal_attention(q, k, v, use_pallas=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_wedge_layout_rules(self):
+        from dalle_mtf_tpu.ops.attention import WEDGE_MAX_BLOCK, _wedge_layout
+
+        for s, want in [(1280, (640, 1280, 2)), (128, (128, 128, 1)),
+                        (2048, (512, 2048, 4)), (700, (384, 768, 2))]:
+            got = _wedge_layout(s)
+            assert got == want, (s, got, want)
+            block, s_pad, n = got
+            assert block <= WEDGE_MAX_BLOCK and block % 128 == 0
+            assert s_pad >= s and s_pad == block * n
