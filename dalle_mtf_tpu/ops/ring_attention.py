@@ -14,21 +14,36 @@ each device folds the visiting shard into a running flash-attention state
 entirely in this device's future contributes nothing; the diagonal shard is
 masked triangularly; past shards attend fully.
 
-The local block computation is the XLA path for clarity; swapping in the
-Pallas kernel per block is a planned optimization (ROADMAP.md). Exposed as
-a pure function to be called inside ``shard_map`` — see
-tests/test_ring_attention.py for the mesh wiring.
+Two block-math paths:
+
+- **Pallas** (TPU default): per ring step a fused kernel computes the
+  partial-softmax triple (num = exp(s−m)·V, m, l) for the visiting shard —
+  bf16 into the MXU, fp32 accumulate, no [Sq, Sk] tensor in HBM — and the
+  fp32 fold runs as O(S·D) XLA vector math. The backward is a full custom-
+  VJP ring: (k, v, dk, dv) rotate TOGETHER, each device adding its local
+  q-block's gradient contribution to the visiting shard's dk/dv via a
+  5-matmul fused kernel (s, dp, dq = ds·K, dk = dsᵀ·Q, dv = pᵀ·dO), so
+  dk/dv arrive home fully accumulated after n hops. The shard-causality
+  mask is one branchless compare against the (row0−col0) offset delivered
+  via SMEM, and fully-masked (future) steps skip compute via ``lax.cond``.
+- **XLA** (CPU/debug): the round-1 einsum fold, kept as the reference the
+  Pallas path is tested against (tests/test_ring_attention.py,
+  tests/test_ring_pallas.py).
 """
 
 from __future__ import annotations
 
+import functools
 import math
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e10
+LSE_LANES = 128
 
 
 def _block_scores(q, k, scale):
@@ -44,14 +59,32 @@ def ring_attention(
     v: jax.Array,
     axis_name: str,
     causal: bool = True,
+    use_pallas: bool | None = None,
+    interpret: bool = False,
 ) -> jax.Array:
     """Causal attention over a sequence sharded on ``axis_name``.
 
     Must run inside shard_map/pjit manual context where ``axis_name`` is a
     mesh axis. q, k, v: per-device shards [B, H, S_local, D], where shard i
     holds global positions [i*S_local, (i+1)*S_local). Returns the local
-    output shard [B, H, S_local, D].
+    output shard [B, H, S_local, D]. Dispatches to the Pallas block kernels
+    on TPU (or under ``interpret``), to the XLA fold elsewhere.
     """
+    if use_pallas is None:
+        use_pallas = _on_tpu() or interpret
+    if use_pallas and causal and q.shape[-1] % 128 == 0:
+        return _ring_attention_pallas(q, k, v, axis_name, interpret)
+    return _ring_attention_xla(q, k, v, axis_name, causal)
+
+
+def _ring_attention_xla(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    axis_name: str,
+    causal: bool = True,
+) -> jax.Array:
+    """Reference XLA fold (round-1 path; differentiable by tracing)."""
     n = jax.lax.psum(1, axis_name)
     my_idx = jax.lax.axis_index(axis_name)
     b, h, s_local, d = q.shape
@@ -106,6 +139,323 @@ def ring_attention(
     # zero-l protection
     out = acc / jnp.maximum(l, 1e-30)
     return out.astype(q.dtype)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:  # pragma: no cover - backend probe
+        return False
+
+
+def _pick_row_block(s_local: int) -> int:
+    """q-row block tiling s_local exactly: whole shard when small, else the
+    largest ≥16-multiple divisor chunking near 640 rows (row/sublane tiling
+    only needs multiples of 16; the lane dim is D=128)."""
+    if s_local <= 1024:
+        return s_local
+    n = -(-s_local // 640)
+    while n <= s_local // 16:
+        if s_local % n == 0 and (s_local // n) % 16 == 0:
+            return s_local // n
+        n += 1
+    return s_local
+
+
+
+def _vma_of(x):
+    """Varying-across-mesh-axes set of a traced value (needed on pallas_call
+    out_shapes under shard_map's check_vma); None outside shard_map."""
+    try:
+        vma = jax.typeof(x).vma
+        return vma if vma else None
+    except Exception:  # pragma: no cover - API drift
+        return None
+
+
+def _sds(shape, dtype, vma):
+    if vma is None:
+        return jax.ShapeDtypeStruct(shape, dtype)
+    return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+
+
+def _ring_fwd_kernel(diff_ref, q_ref, k_ref, v_ref, num_ref, m_ref, l_ref,
+                     *, block: int):
+    """Partial softmax of one visiting kv shard against a local q block.
+
+    diff_ref (SMEM): row0 - col0 = (my_idx - src_idx) * S_local. The
+    shard-causality mask is one compare: global col > global row  ⇔
+    (c - r) > diff — diff ≥ S_k means a past shard (nothing masked),
+    diff == 0 the diagonal shard (triangle), diff < 0 a future shard
+    (everything masked; the caller cond-skips that case).
+    Emits num = exp(s - m)·V (fp32), and m, l lane-replicated for the fold.
+    """
+    d = q_ref.shape[-1]
+    s_k = k_ref.shape[0]
+    scale = 1.0 / math.sqrt(d)
+    i = pl.program_id(1)
+    s = jax.lax.dot_general(
+        q_ref[...], k_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    r = jax.lax.broadcasted_iota(jnp.int32, (block, s_k), 0) + i * block
+    c = jax.lax.broadcasted_iota(jnp.int32, (block, s_k), 1)
+    s = jnp.where(c - r > diff_ref[0, 0], NEG_INF, s)
+    m = jnp.max(s, axis=-1, keepdims=True)  # ≥ NEG_INF, finite
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    num_ref[...] = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[...] = jnp.broadcast_to(m, (block, LSE_LANES))
+    l_ref[...] = jnp.broadcast_to(l, (block, LSE_LANES))
+
+
+def _ring_partial(q, k, v, diff, interpret: bool):
+    """(num, m, l) of the visiting shard. q: [B,H,Sq,D]; k/v: [B,H,Sk,D];
+    diff: scalar int32 (traced)."""
+    b, h, s_q, d = q.shape
+    s_k = k.shape[2]
+    bh = b * h
+    block = _pick_row_block(s_q)
+    qf = q.reshape(bh, s_q, d)
+    kf = k.reshape(bh, s_k, d)
+    vf = v.reshape(bh, s_k, d)
+    n_q = s_q // block
+    vma = _vma_of(q)
+    num, m, l = pl.pallas_call(
+        functools.partial(_ring_fwd_kernel, block=block),
+        grid=(bh, n_q),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, block, d), lambda b_, i: (b_, i, 0)),
+            pl.BlockSpec((None, s_k, d), lambda b_, i: (b_, 0, 0)),
+            pl.BlockSpec((None, s_k, d), lambda b_, i: (b_, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, block, d), lambda b_, i: (b_, i, 0)),
+            pl.BlockSpec((None, block, LSE_LANES), lambda b_, i: (b_, i, 0)),
+            pl.BlockSpec((None, block, LSE_LANES), lambda b_, i: (b_, i, 0)),
+        ],
+        out_shape=[
+            _sds((bh, s_q, d), jnp.float32, vma),
+            _sds((bh, s_q, LSE_LANES), jnp.float32, vma),
+            _sds((bh, s_q, LSE_LANES), jnp.float32, vma),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(jnp.reshape(diff.astype(jnp.int32), (1, 1)), qf, kf, vf)
+    shape4 = (b, h, s_q, 1)
+    return (num.reshape(b, h, s_q, d), m[:, :, :1].reshape(shape4),
+            l[:, :, :1].reshape(shape4))
+
+
+def _ring_bwd_kernel(diff_ref, q_ref, do_ref, lse_ref, dsum_ref,
+                     k_ref, v_ref, dq_ref, dk_ref, dv_ref, *, block: int):
+    """Fused block gradients for one (local q, visiting kv) pair.
+
+    p = exp(s − lse);  ds = p∘(dO·Vᵀ − dsum)
+    dq += scale·ds·K   dk += scale·dsᵀ·Q   dv += pᵀ·dO
+    dk/dv accumulate across q-block grid steps (same output block revisited
+    under the sequential 'arbitrary' dimension)."""
+    d = q_ref.shape[-1]
+    s_k = k_ref.shape[0]
+    scale = 1.0 / math.sqrt(d)
+    i = pl.program_id(1)
+    qb = q_ref[...]
+    dob = do_ref[...]
+    s = jax.lax.dot_general(
+        qb, k_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    r = jax.lax.broadcasted_iota(jnp.int32, (block, s_k), 0) + i * block
+    c = jax.lax.broadcasted_iota(jnp.int32, (block, s_k), 1)
+    mask = c - r > diff_ref[0, 0]
+    p = jnp.where(mask, 0.0, jnp.exp(s - lse_ref[:, :1]))
+    dp = jax.lax.dot_general(
+        dob, v_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = (p * (dp - dsum_ref[:, :1])).astype(k_ref.dtype)
+    dq = jax.lax.dot_general(
+        ds, k_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dq_ref[...] = (dq * scale).astype(dq_ref.dtype)
+    dk = jax.lax.dot_general(
+        ds, qb, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    dv = jax.lax.dot_general(
+        p.astype(dob.dtype), dob, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(i == 0)
+    def _init():
+        dk_ref[...] = dk.astype(dk_ref.dtype)
+        dv_ref[...] = dv.astype(dv_ref.dtype)
+
+    @pl.when(i > 0)
+    def _acc():
+        dk_ref[...] = (dk_ref[...].astype(jnp.float32) + dk).astype(dk_ref.dtype)
+        dv_ref[...] = (dv_ref[...].astype(jnp.float32) + dv).astype(dv_ref.dtype)
+
+
+def _ring_block_grads(q, do, lse, dsum, k, v, diff, interpret: bool):
+    """(dq_contrib, dk_vis, dv_vis) for one ring step. dk/dv are fp32 (they
+    keep accumulating across hops)."""
+    b, h, s_q, d = q.shape
+    s_k = k.shape[2]
+    bh = b * h
+    block = _pick_row_block(s_q)
+    n_q = s_q // block
+    vma = _vma_of(q)
+    lse_flat = jnp.broadcast_to(lse, (b, h, s_q, LSE_LANES)).reshape(
+        bh, s_q, LSE_LANES)
+    dsum_flat = jnp.broadcast_to(dsum, (b, h, s_q, LSE_LANES)).reshape(
+        bh, s_q, LSE_LANES)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_ring_bwd_kernel, block=block),
+        grid=(bh, n_q),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, block, d), lambda b_, i: (b_, i, 0)),
+            pl.BlockSpec((None, block, d), lambda b_, i: (b_, i, 0)),
+            pl.BlockSpec((None, block, LSE_LANES), lambda b_, i: (b_, i, 0)),
+            pl.BlockSpec((None, block, LSE_LANES), lambda b_, i: (b_, i, 0)),
+            pl.BlockSpec((None, s_k, d), lambda b_, i: (b_, 0, 0)),
+            pl.BlockSpec((None, s_k, d), lambda b_, i: (b_, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, block, d), lambda b_, i: (b_, i, 0)),
+            pl.BlockSpec((None, s_k, d), lambda b_, i: (b_, 0, 0)),
+            pl.BlockSpec((None, s_k, d), lambda b_, i: (b_, 0, 0)),
+        ],
+        out_shape=[
+            _sds((bh, s_q, d), q.dtype, vma),
+            _sds((bh, s_k, d), jnp.float32, vma),
+            _sds((bh, s_k, d), jnp.float32, vma),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(jnp.reshape(diff.astype(jnp.int32), (1, 1)),
+      q.reshape(bh, s_q, d), do.reshape(bh, s_q, d), lse_flat, dsum_flat,
+      k.reshape(bh, s_k, d), v.reshape(bh, s_k, d))
+    return (dq.reshape(b, h, s_q, d), dk.reshape(b, h, s_k, d),
+            dv.reshape(b, h, s_k, d))
+
+
+def _ring_fwd_impl(q, k, v, axis_name, interpret):
+    n = jax.lax.psum(1, axis_name)
+    my_idx = jax.lax.axis_index(axis_name)
+    b, h, s_local, d = q.shape
+    perm_fwd = [(i, (i + 1) % n) for i in range(n)]
+
+    def zeros_partial(_):
+        # derive from q so the outputs carry the same varying-across-mesh
+        # type as the pallas branch (cond requires matching types)
+        z = q.astype(jnp.float32) * 0.0
+        z1 = z[..., :1]
+        return (z, z1 + NEG_INF, z1)
+
+    def ring_step(r, state):
+        (acc, m_prev, l_prev), k_cur, v_cur = state
+        src = (my_idx - r) % n
+        diff = (my_idx - src) * s_local
+        num, m_cur, l_cur = jax.lax.cond(
+            src <= my_idx,
+            lambda kv: _ring_partial(q, kv[0], kv[1], diff, interpret),
+            zeros_partial,
+            (k_cur, v_cur),
+        )
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        beta = jnp.exp(m_cur - m_new)
+        acc = acc * alpha + num * beta
+        l_new = l_prev * alpha + l_cur * beta
+        k_nxt = jax.lax.ppermute(k_cur, axis_name, perm_fwd)
+        v_nxt = jax.lax.ppermute(v_cur, axis_name, perm_fwd)
+        return (acc, m_new, l_new), k_nxt, v_nxt
+
+    acc0 = jnp.zeros((b, h, s_local, d), jnp.float32)
+    m0 = jnp.full((b, h, s_local, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((b, h, s_local, 1), jnp.float32)
+    # fold carries derive from q so they inherit its device-varying type
+    acc0 = acc0 + q.astype(jnp.float32) * 0.0
+    m0 = m0 + q[..., :1].astype(jnp.float32) * 0.0
+    l0 = l0 + q[..., :1].astype(jnp.float32) * 0.0
+    (acc, m, l), _k, _v = jax.lax.fori_loop(
+        0, n, ring_step, ((acc0, m0, l0), k, v)
+    )
+    l_safe = jnp.maximum(l, 1e-30)
+    out = (acc / l_safe).astype(q.dtype)
+    lse = m + jnp.log(l_safe)
+    return out, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _ring_attention_pallas(q, k, v, axis_name, interpret):
+    return _ring_fwd_impl(q, k, v, axis_name, interpret)[0]
+
+
+def _ring_pallas_fwd(q, k, v, axis_name, interpret):
+    out, lse = _ring_fwd_impl(q, k, v, axis_name, interpret)
+    return out, (q, k, v, out, lse)
+
+
+def _ring_pallas_bwd(axis_name, interpret, res, g):
+    q, k, v, out, lse = res
+    n = jax.lax.psum(1, axis_name)
+    my_idx = jax.lax.axis_index(axis_name)
+    b, h, s_local, d = q.shape
+    perm_fwd = [(i, (i + 1) % n) for i in range(n)]
+    dsum = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
+                   axis=-1, keepdims=True)
+
+    def zeros_grads(kv):
+        k_cur, v_cur = kv
+        return (q * 0, k_cur.astype(jnp.float32) * 0.0,
+                v_cur.astype(jnp.float32) * 0.0)
+
+    def ring_step(r, state):
+        dq_acc, k_cur, v_cur, dk_cur, dv_cur = state
+        src = (my_idx - r) % n
+        diff = (my_idx - src) * s_local
+        dq_c, dk_c, dv_c = jax.lax.cond(
+            src <= my_idx,
+            lambda kv: _ring_block_grads(q, g, lse, dsum, kv[0], kv[1],
+                                         diff, interpret),
+            zeros_grads,
+            (k_cur, v_cur),
+        )
+        dq_acc = dq_acc + dq_c.astype(jnp.float32)
+        dk_cur = dk_cur + dk_c
+        dv_cur = dv_cur + dv_c
+        # rotate kv AND its accumulating grads together: after n hops the
+        # shard and its fully-summed dk/dv are back on the home device
+        k_nxt = jax.lax.ppermute(k_cur, axis_name, perm_fwd)
+        v_nxt = jax.lax.ppermute(v_cur, axis_name, perm_fwd)
+        dk_nxt = jax.lax.ppermute(dk_cur, axis_name, perm_fwd)
+        dv_nxt = jax.lax.ppermute(dv_cur, axis_name, perm_fwd)
+        return dq_acc, k_nxt, v_nxt, dk_nxt, dv_nxt
+
+    dq0 = jnp.zeros((b, h, s_local, d), jnp.float32)
+    dq0 = dq0 + q.astype(jnp.float32) * 0.0
+    dk0 = jnp.zeros((b, h, s_local, d), jnp.float32) + k.astype(jnp.float32) * 0.0
+    dv0 = jnp.zeros((b, h, s_local, d), jnp.float32) + v.astype(jnp.float32) * 0.0
+    dq, _k, _v, dk, dv = jax.lax.fori_loop(
+        0, n, ring_step, (dq0, k, v, dk0, dv0)
+    )
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_ring_attention_pallas.defvjp(_ring_pallas_fwd, _ring_pallas_bwd)
 
 
 def ambient_mesh():
@@ -178,6 +528,9 @@ def ring_attention_auto(
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
+        # the pallas block kernels create fresh values inside the manual
+        # region; vma inference can't see through them (see test_ring_pallas)
+        check_vma=False,
     )
     return fn(q, k, v)
 
@@ -198,5 +551,6 @@ def ring_attention_sharded(q, k, v, mesh, seq_axis: str = "seq", causal: bool = 
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
+        check_vma=False,
     )
     return fn(q, k, v)
