@@ -68,6 +68,11 @@ class DalleConfig:
     ring_seq_axis: str = "seq"
     ring_batch_axis: str | None = "data"
     ring_heads_axis: str | None = None
+    # pipeline parallelism: a ``layers:pipe`` layout rule names the mesh
+    # axis the stacked layer dim shards over; the block stack then runs as
+    # a GPipe schedule (parallel/pipeline.py) when that axis is in scope
+    pipe_axis: str | None = None
+    pipeline_microbatches: int | None = None  # default: pipe axis size
     embed_dropout: float = 0.0
     attention_dropout: float = 0.0
     residual_dropout: float = 0.0
@@ -107,6 +112,8 @@ class DalleConfig:
             ring_seq_axis=rules.get(SEQ) or "seq",
             ring_batch_axis=rules.get(BATCH) or "data",
             ring_heads_axis=rules.get(HEADS),
+            pipe_axis=rules.get(LAYERS),
+            pipeline_microbatches=params.get("pipeline_microbatches"),
             n_embd=params["n_embd"],
             text_vocab_size=params["text_vocab_size"],
             image_vocab_size=params["image_vocab_size"],
@@ -431,9 +438,45 @@ class DALLE:
             else:
                 policy = getattr(jax.checkpoint_policies, cfg.remat_policy)
             body = jax.checkpoint(body, policy=policy)
-        x, _ = jax.lax.scan(body, x, (params["layers"], layer_rngs))
+
+        pipe_mesh = self._pipe_mesh()
+        if pipe_mesh is not None:
+            from dalle_mtf_tpu.parallel.pipeline import (  # noqa: PLC0415
+                pipeline_hidden,
+            )
+
+            x = pipeline_hidden(
+                body, params["layers"], layer_rngs, x, pipe_mesh,
+                cfg.pipe_axis, cfg.pipeline_microbatches,
+            )
+        else:
+            x, _ = jax.lax.scan(body, x, (params["layers"], layer_rngs))
 
         return self._layer_norm(x, params["lnf_g"], params["lnf_b"])
+
+    def _pipe_mesh(self):
+        """The ambient mesh when pipeline parallelism is active (a
+        ``layers:<axis>`` layout rule names an in-scope mesh axis of size
+        > 1 dividing n_layers), else None."""
+        cfg = self.cfg
+        if not cfg.pipe_axis:
+            return None
+        from dalle_mtf_tpu.ops.ring_attention import ambient_mesh  # noqa: PLC0415
+
+        mesh = ambient_mesh()
+        if (
+            mesh is None
+            or cfg.pipe_axis not in mesh.axis_names
+            or mesh.shape[cfg.pipe_axis] == 1
+        ):
+            return None
+        n_pipe = mesh.shape[cfg.pipe_axis]
+        if cfg.n_layers % n_pipe != 0:
+            raise ValueError(
+                f"pipeline: n_layers {cfg.n_layers} not divisible by "
+                f"{cfg.pipe_axis!r} axis size {n_pipe}"
+            )
+        return mesh
 
     def forward(
         self,
