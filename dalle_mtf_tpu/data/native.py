@@ -85,6 +85,21 @@ def get_lib():
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_float),
         ]
+        lib.dmt_il_open.restype = ctypes.c_void_p
+        lib.dmt_il_open.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.dmt_il_next.restype = ctypes.c_int64
+        lib.dmt_il_next.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ]
+        lib.dmt_il_close.restype = None
+        lib.dmt_il_close.argtypes = [ctypes.c_void_p]
         _LIB = lib
         return lib
 
@@ -148,3 +163,44 @@ def decode_img(data: bytes, size: int, channels: int = 3) -> np.ndarray | None:
     if rc != 0:
         return None
     return out
+
+
+def read_interleaved(paths, cycle: int = 4, verify_crc: bool = False,
+                     chunk_kb: int = 1024):
+    """io_uring interleaved TFRecord reader over local shard files.
+
+    Round-robins one record at a time across a ``cycle`` window of open
+    files (an exhausted file is replaced by the next unopened one) — the
+    same order as pipeline.py's Python interleave, with the I/O of every
+    stream in flight concurrently on one io_uring. Returns None when the
+    native library or io_uring is unavailable (caller falls back).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    from dalle_mtf_tpu.data.fs import is_remote  # noqa: PLC0415
+
+    paths = list(paths)
+    if not paths or any(hasattr(p, "read") or is_remote(p) for p in paths):
+        return None
+    arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
+    handle = lib.dmt_il_open(arr, len(paths), int(cycle),
+                             1 if verify_crc else 0, int(chunk_kb))
+    if not handle:
+        logger.info("io_uring interleave unavailable; python fallback")
+        return None
+
+    def gen():
+        try:
+            buf = ctypes.POINTER(ctypes.c_uint8)()
+            while True:
+                n = lib.dmt_il_next(handle, ctypes.byref(buf))
+                if n == -1:
+                    return
+                if n < 0:
+                    raise IOError("corrupt tfrecord in interleaved read")
+                yield ctypes.string_at(buf, n)
+        finally:
+            lib.dmt_il_close(handle)
+
+    return gen()

@@ -107,7 +107,19 @@ class _Pipeline:
 
     def _interleaved(self, files: list[str]) -> Iterator[Any]:
         """Round-robin one record at a time across cycle_length open files;
-        an exhausted file is replaced by the next unopened one."""
+        an exhausted file is replaced by the next unopened one.
+
+        TFRecord sources over local files take the io_uring fast path
+        (native.read_interleaved — every stream's chunk reads in flight
+        concurrently on one ring, byte-identical record order); anything
+        else (remote paths, jpg-glob readers) interleaves in Python."""
+        if self.record_iter_fn is read_tfrecord_file:
+            from dalle_mtf_tpu.data import native  # noqa: PLC0415
+
+            g = native.read_interleaved(files, cycle=self.cycle_length)
+            if g is not None:
+                yield from g
+                return
         from collections import deque  # noqa: PLC0415
 
         file_iter = iter(files)

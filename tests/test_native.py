@@ -106,3 +106,88 @@ def test_native_throughput_sane():
         dt = time.time() - t0
         assert n == 256 * len(rec)
         assert n / dt > 20e6, f"native reader too slow: {n/dt/1e6:.1f} MB/s"
+
+
+class TestIoUringInterleave:
+    """io_uring interleaved shard reader (dmt_il_*): byte-identical order to
+    the Python interleave, TF-framing correct, graceful fallbacks."""
+
+    def _shards(self, tmp_path, n_files=5, per_file=7):
+        from dalle_mtf_tpu.data.tfrecord import TFRecordWriter
+
+        paths = []
+        for i in range(n_files):
+            p = str(tmp_path / f"shard_{i}.tfrecords")
+            with TFRecordWriter(p) as w:
+                for j in range(per_file + i):  # uneven shard sizes
+                    w.write(f"rec-{i}-{j}".encode() * (j + 1))
+            paths.append(p)
+        return paths
+
+    @pytest.mark.parametrize("cycle", [1, 2, 3, 4, 8])
+    def test_order_matches_python_interleave(self, tmp_path, cycle):
+        from dalle_mtf_tpu.data import native, tfrecord
+        from dalle_mtf_tpu.data.pipeline import _Pipeline
+
+        if not native.available():
+            pytest.skip("native lib unavailable")
+        paths = self._shards(tmp_path)
+        g = native.read_interleaved(paths, cycle=cycle, verify_crc=True)
+        if g is None:
+            pytest.skip("io_uring unavailable in sandbox")
+        nat = list(g)
+
+        class FakePipe:
+            cycle_length = cycle
+            record_iter_fn = staticmethod(
+                lambda f: tfrecord.read_tfrecord_file(f)
+            )
+
+        py = list(_Pipeline._interleaved(FakePipe(), list(paths)))
+        assert nat == py
+        assert len(nat) == sum(7 + i for i in range(5))
+
+    def test_large_records_span_chunks(self, tmp_path):
+        from dalle_mtf_tpu.data import native
+        from dalle_mtf_tpu.data.tfrecord import TFRecordWriter
+
+        if not native.available():
+            pytest.skip("native lib unavailable")
+        # records far larger than the read chunk force frame reassembly
+        p = str(tmp_path / "big.tfrecords")
+        blobs = [bytes([i]) * (200_000 + i) for i in range(5)]
+        with TFRecordWriter(p) as w:
+            for b in blobs:
+                w.write(b)
+        g = native.read_interleaved([p], cycle=1, verify_crc=True,
+                                    chunk_kb=64)
+        if g is None:
+            pytest.skip("io_uring unavailable in sandbox")
+        assert list(g) == blobs
+
+    def test_corruption_detected(self, tmp_path):
+        from dalle_mtf_tpu.data import native
+        from dalle_mtf_tpu.data.tfrecord import TFRecordWriter
+
+        if not native.available():
+            pytest.skip("native lib unavailable")
+        p = str(tmp_path / "corrupt.tfrecords")
+        with TFRecordWriter(p) as w:
+            w.write(b"payload-one")
+            w.write(b"payload-two")
+        raw = bytearray(open(p, "rb").read())
+        raw[14] ^= 0xFF  # flip a payload byte of record 1
+        open(p, "wb").write(bytes(raw))
+        g = native.read_interleaved([p], cycle=1, verify_crc=True)
+        if g is None:
+            pytest.skip("io_uring unavailable in sandbox")
+        with pytest.raises(IOError):
+            list(g)
+
+    def test_remote_paths_fall_back(self):
+        from dalle_mtf_tpu.data import native
+
+        if not native.available():
+            pytest.skip("native lib unavailable")
+        assert native.read_interleaved(["gs://bucket/x.tfrecords"]) is None
+        assert native.read_interleaved([]) is None
