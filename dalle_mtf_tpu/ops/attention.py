@@ -9,35 +9,33 @@ in HBM, bf16 in / fp32 accumulate on the MXU. The local variant is the same
 kernel with a band mask — unlike the reference, it is actually reachable
 (``attention_type: "local"`` in config).
 
-Two kernel families, dispatched on sequence length:
+Three kernel families, dispatched on padded sequence length:
 
-- **Whole-row** (``s_pad <= WHOLE_ROW_MAX_SEQ``, the DALLE hot path at
-  S=1280): one program per (batch*head, q-block) computes the FULL score
-  row [block_q, S] in VMEM with a single matmul pair and a one-shot softmax
-  (no online-softmax loop). At short-S DALLE shapes the per-block
-  online-softmax machinery (fori_loop carries, running max/normalizer
-  corrections, per-block mask iotas) costs more VPU time than the 2x matmul
-  FLOPs it saves via the causal skip -- measured 1.72 ms vs 2.27 ms fwd at
-  16x8x1280x128 bf16 on v5e, at/below the shipped
-  jax.experimental.pallas.ops.tpu flash kernel's best tuning (1.68 ms).
-  The causal/window/pad mask is precomputed once per call as a bool array
-  indexed by q-block via BlockSpec (XLA CSEs it across all layers of a
-  network), replacing per-block iota+compare with a single select.
+- **Wedge** (default for ``s_pad <= WHOLE_ROW_MAX_SEQ`` — covers both the
+  dalle_coco hot path at S=1280 and dalle_12B at S=2304): one pallas_call
+  per q-block i with a STATIC key extent (i+1)*block, so blocks above the
+  causal diagonal are never computed. Within a call: single matmul pair,
+  one-shot softmax, no loops, no VMEM scratch, in-kernel iota mask.
+  Measured 0.76 ms fwd / 2.69 ms fused bwd at 16x8x1280x128 bf16 on v5e
+  with dispatch amortized (see BENCH.md's microbench-floor correction).
 
-- **Online-softmax loop** (longer sequences): classic flash attention --
-  the [block_q, S] score row no longer fits VMEM and the causal skip's
-  FLOP saving dominates, so kv blocks stream through running (m, l)
-  statistics.
+- **Whole-row** (``DALLE_TPU_ATTN_SHORT=wr``): one program per
+  (batch*head, q-block) computes the FULL score row [block_q, S] — full
+  S^2 work, no loop machinery; the wedge's final call degenerates to it.
 
-Backward pass: fully fused Pallas dq and dk/dv kernels (FlashAttention-2
-style), in the same two flavors — the whole-row flavor additionally fuses
-dq and dk/dv into ONE kernel sharing the resident q/k/v/do inputs. The
-forward saves only (q, k, v, out, lse) — lse lane-replicated to [S, 128]
-so per-row scalars stay TPU-tileable — and the backward
-rematerializes score blocks on the fly: no [S, S] tensor ever exists in HBM
-in either direction (the ``BACKWARD_IMPL = "xla"`` switch keeps the XLA
-rematerialization path selectable per deployment). Loop-path backward
-prefers larger tiles than forward (DEFAULT_BWD_BLOCK).
+- **Online-softmax loop** (longer sequences): classic flash attention —
+  the [block_q, S] score row no longer fits VMEM, so kv blocks stream
+  through running (m, l) statistics.
+
+Backward pass: fully fused Pallas kernels (FlashAttention-2 style) in the
+same flavors — wedge/whole-row fuse dQ(block i) and dK/dV(block i) into
+ONE program sharing resident inputs. The forward saves only
+(q, k, v, out, lse) — lse lane-replicated to [S, 128] so per-row scalars
+stay TPU-tileable — and the backward rematerializes score blocks on the
+fly: no [S, S] tensor ever exists in HBM in either direction (the
+``BACKWARD_IMPL = "xla"`` switch keeps the XLA rematerialization path
+selectable per deployment). Loop-path backward prefers larger tiles than
+forward (DEFAULT_BWD_BLOCK).
 """
 
 from __future__ import annotations
@@ -185,7 +183,10 @@ def _pad_seq(x, s_pad):
 # softmax is one-shot (no online statistics). See the module docstring for
 # why this beats the online-softmax loop at DALLE shapes.
 
-WHOLE_ROW_MAX_SEQ = 2048  # beyond this, the causal skip + streaming kv wins
+WHOLE_ROW_MAX_SEQ = 3072  # wedge regime bound: above this the [block, S]
+# fp32 score row plus resident K/V prefixes press the 16 MB VMEM limit
+# and the online-softmax loop kernels take over. Measured at S=2304
+# (dalle_12B): wedge fwd 0.76 ms vs loop 1.13 ms (BENCH.md).
 LSE_ROWS = 8  # sublane replication for row-vector (per-query) scalars
 
 

@@ -1,0 +1,97 @@
+"""Batching HTTP inference server for a trained DALLE + VAE.
+
+Production serving the reference never had (its PREDICT paths raise
+NotImplementedError). One compiled fixed-batch sampler executable serves a
+request queue with short-linger batching (dalle_mtf_tpu/serve.py).
+
+    python serve_dalle.py --model dalle_example --port 8000 \
+        --batch-size 4 --top_k 64 [--int8]
+
+    curl -s localhost:8000/generate -d '{"text": "a red cube", "n": 2}'
+    # -> {"images": ["<base64 png>", ...], "latency_s": 1.9}
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+import jax
+
+from dalle_mtf_tpu.data.tokenizer import get_tokenizer
+from dalle_mtf_tpu.serve import BatchingSampler, make_server
+from dalle_mtf_tpu.train.tasks import make_dalle_task
+from dalle_mtf_tpu.utils.config import fetch_model_params
+from dalle_mtf_tpu.utils.logging_utils import setup_logging
+from sample_dalle import load_dalle_params
+from train_dalle import load_vae_params
+
+logger = logging.getLogger(__name__)
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", type=str, required=True)
+    p.add_argument("--host", type=str, default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="server batch rows (default: config "
+                        "predict_batch_size, else 4)")
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--top_k", type=int, default=64)
+    p.add_argument("--linger-ms", type=float, default=5.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--int8", action="store_true",
+                   help="int8 decode weights (~1.5x faster decode)")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    params = fetch_model_params(args.model)
+    assert params["model_type"] == "dalle"
+    setup_logging(params["config_name"] or args.model)
+
+    tokenizer = get_tokenizer()
+    params["padding_id"] = tokenizer.pad_token_id
+    dalle, vae, _init, _loss, _eval, axes = make_dalle_task(params)
+    dalle_params = load_dalle_params(params, dalle)
+    vae_params = load_vae_params(params, vae)
+
+    from dalle_mtf_tpu.parallel.mesh import build_mesh, parse_layout, shard_params
+
+    mesh = build_mesh(params.get("mesh_shape"))
+    rules = parse_layout(params.get("layout"))
+    dalle_params = shard_params(dalle_params, mesh, rules, axes)
+    if args.int8:
+        from dalle_mtf_tpu.quantize import quantize_layers_int8
+
+        dalle_params = quantize_layers_int8(dalle_params)
+
+    batch = args.batch_size or params["predict_batch_size"] or 4
+    sampler = BatchingSampler(
+        dalle, dalle_params, vae, vae_params,
+        batch_size=batch, temperature=args.temperature, top_k=args.top_k,
+        linger_ms=args.linger_ms, seed=args.seed,
+    )
+    # warm the executable so the first request doesn't pay the compile
+    warm = sampler.submit([params["padding_id"]] * dalle.cfg.text_seq_len, 1)
+    warm.result()
+    logger.info("sampler warm; %d device(s), batch=%d", jax.device_count(), batch)
+
+    server = make_server(
+        sampler, tokenizer, dalle.cfg.text_seq_len,
+        host=args.host, port=args.port,
+    )
+    logger.info("serving on %s:%d", args.host, args.port)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        sampler.close()
+
+
+if __name__ == "__main__":
+    main()
