@@ -114,6 +114,8 @@ def create_paired_dataset(
     """
     from dalle_mtf_tpu.data import fs  # noqa: PLC0415
 
+    out_dir = str(out_dir)  # accept pathlib.Path like the jsonl helpers do
+
     base_dir = Path(path_to_jsonl).parent
     fs.makedirs(out_dir)
 

@@ -183,6 +183,11 @@ def read_interleaved(paths, cycle: int = 4, verify_crc: bool = False,
     paths = list(paths)
     if not paths or any(hasattr(p, "read") or is_remote(p) for p in paths):
         return None
+    for p in paths:
+        # fail loudly up front like the Python reader's open() would — the
+        # native refill would otherwise skip unopenable shards silently
+        if not os.path.isfile(p):
+            raise FileNotFoundError(f"tfrecord shard not found: {p}")
     arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
     handle = lib.dmt_il_open(arr, len(paths), int(cycle),
                              1 if verify_crc else 0, int(chunk_kb))

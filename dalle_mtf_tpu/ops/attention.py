@@ -206,6 +206,10 @@ def _wr_pick_block(s128: int, n_f32_bufs: int, itemsize: int = 2):
     total = 4 * s128 * s128 * n_f32_bufs
     n_blocks = max(1, -(-total // budget))
     block = _round_up(-(-s128 // n_blocks), 128)
+    # recompute the block count for the ROUNDED block — otherwise
+    # block * n_blocks over-pads (e.g. S=3072 fp32: 11 blocks of 384 =
+    # 4224 rows instead of ceil(3072/384) = 8 blocks = 3072)
+    n_blocks = -(-s128 // block)
     return block, block * n_blocks
 
 
@@ -309,14 +313,14 @@ def _wr_forward(q, k, v, window, interpret: bool, with_lse: bool = False):
 
 def _wr_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
                    lse_row_ref, dsum_row_ref, mask_ref, maskT_ref,
-                   qb_ref, dob_ref, kb_ref, vb_ref,
-                   dq_ref, dk_ref, dv_ref):
+                   dq_ref, dk_ref, dv_ref, *, block: int):
     """Fused dQ + dK/dV for one (batch*head, block) over full score rows.
 
     One program computes dQ for query-block i AND dK/dV for key-block i:
-    the two halves share the full q/k/v/do inputs already resident in VMEM,
-    and fusing halves the program count vs separate dq/dkv kernels
-    (measured 3.4 ms vs 3.85 ms at dalle_coco shapes on v5e).
+    the two halves share the full q/k/v/do inputs already resident in VMEM
+    (block views are dynamic slices of those refs — the arrays are streamed
+    ONCE, not duplicated as separate block inputs), and fusing halves the
+    program count vs separate dq/dkv kernels.
 
     dQ half:   p  = exp(s - lse);  ds  = p  * (dO.V^T - dsum);  dQ = scale*ds.K
     dKV half:  p' = exp(s' - lse'); ds' = p' * (V_blk.dO^T - dsum'); transposed
@@ -326,16 +330,21 @@ def _wr_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
     """
     d = q_ref.shape[-1]
     scale = 1.0 / math.sqrt(d)
+    i0 = pl.program_id(1) * block
+    qb_ref = q_ref[pl.ds(i0, block), :]
+    dob_ref = do_ref[pl.ds(i0, block), :]
+    kb_ref = k_ref[pl.ds(i0, block), :]
+    vb_ref = v_ref[pl.ds(i0, block), :]
 
     # --- dQ for query-block i
     s = jax.lax.dot_general(
-        qb_ref[...], k_ref[...], (((1,), (1,)), ((), ())),
+        qb_ref, k_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale  # [block, S]
     p = jnp.exp(s - lse_ref[:, :1])
     p = jnp.where(mask_ref[...] != 0, 0.0, p)
     dp = jax.lax.dot_general(
-        dob_ref[...], v_ref[...], (((1,), (1,)), ((), ())),
+        dob_ref, v_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     ds = (p * (dp - dsum_ref[:, :1])).astype(k_ref.dtype)
@@ -347,7 +356,7 @@ def _wr_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
 
     # --- dK/dV for key-block i
     sT = jax.lax.dot_general(
-        kb_ref[...], q_ref[...], (((1,), (1,)), ((), ())),
+        kb_ref, q_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale  # [block, S]
     pT = jnp.exp(sT - lse_row_ref[0:1, :])
@@ -358,7 +367,7 @@ def _wr_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
     )
     dv_ref[...] = dv.astype(dv_ref.dtype)
     dpT = jax.lax.dot_general(
-        vb_ref[...], do_ref[...], (((1,), (1,)), ((), ())),
+        vb_ref, do_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     dsT = (pT * (dpT - dsum_row_ref[0:1, :])).astype(q_ref.dtype)
@@ -406,7 +415,7 @@ def _wr_backward(q, k, v, out, lse_flat, g, window, interpret: bool):
     full = lambda: pl.BlockSpec((None, s_pad, d), lambda b_, i: (b_, 0, 0))  # noqa: E731
     blk = lambda: pl.BlockSpec((None, block, d), lambda b_, i: (b_, i, 0))  # noqa: E731
     dq, dk, dv = pl.pallas_call(
-        _wr_bwd_kernel,
+        functools.partial(_wr_bwd_kernel, block=block),
         grid=(bh, n_blk),
         in_specs=[
             full(), full(), full(), full(),
@@ -416,7 +425,6 @@ def _wr_backward(q, k, v, out, lse_flat, g, window, interpret: bool):
             pl.BlockSpec((None, LSE_ROWS, s_pad), lambda b_, i: (b_, 0, 0)),
             pl.BlockSpec((None, block, s_pad), lambda b_, i: (i, 0, 0)),
             pl.BlockSpec((None, block, s_pad), lambda b_, i: (i, 0, 0)),
-            blk(), blk(), blk(), blk(),
         ],
         out_specs=[blk(), blk(), blk()],
         out_shape=[jax.ShapeDtypeStruct((bh, s_pad, d), q.dtype)] * 3,
@@ -424,8 +432,7 @@ def _wr_backward(q, k, v, out, lse_flat, g, window, interpret: bool):
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(qf, kf, vf, gf, lse, dsum_flat, lse_row, dsum_row, mask_q, maskT,
-      qf, gf, kf, vf)
+    )(qf, kf, vf, gf, lse, dsum_flat, lse_row, dsum_row, mask_q, maskT)
 
     def unflat(x):
         x = x.reshape(b, h, s_pad, d)

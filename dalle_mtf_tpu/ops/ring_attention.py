@@ -141,11 +141,7 @@ def _ring_attention_xla(
     return out.astype(q.dtype)
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() not in ("cpu", "gpu")
-    except Exception:  # pragma: no cover - backend probe
-        return False
+from dalle_mtf_tpu.ops.attention import _on_tpu  # noqa: E402
 
 
 def _pick_row_block(s_local: int) -> int:
@@ -507,8 +503,13 @@ def ring_attention_auto(
         or seq_axis not in mesh.axis_names
         or mesh.shape[seq_axis] == 1
     ):
-        from dalle_mtf_tpu.ops.attention import causal_attention  # noqa: PLC0415
+        from dalle_mtf_tpu.ops.attention import (  # noqa: PLC0415
+            attention_reference,
+            causal_attention,
+        )
 
+        if not causal:  # no fused non-causal kernel; use the XLA reference
+            return attention_reference(q, k, v, causal=False)
         return causal_attention(q, k, v)
     s = q.shape[2]
     n = mesh.shape[seq_axis]

@@ -66,6 +66,8 @@ class BatchingSampler:
         self._batch_counter = 0
         self._q: queue.Queue = queue.Queue()
         self._closed = False
+        self._submit_lock = threading.Lock()
+        self._holdback = None  # request that didn't fit the last batch
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -86,20 +88,29 @@ class BatchingSampler:
                 f"text must be tokenized+padded to {self.dalle.cfg.text_seq_len}"
             )
         fut: Future = Future()
-        self._q.put((ids, n, fut))
+        with self._submit_lock:
+            if self._closed:  # close() may have won the race
+                raise RuntimeError("sampler is closed")
+            self._q.put((ids, n, fut))
         return fut
 
     def close(self):
-        self._closed = True
-        self._q.put(None)
+        with self._submit_lock:
+            self._closed = True
+            self._q.put(None)
         self._worker.join(timeout=30)
 
     # ---------------------------------------------------------------- worker
 
     def _collect(self):
         """Block for one request, then linger briefly for batch-mates whose
-        rows still fit."""
-        item = self._q.get()
+        rows still fit. A request that doesn't fit the in-flight batch is
+        held back to SEED the next batch (not requeued behind later
+        arrivals — preserves arrival order)."""
+        if self._holdback is not None:
+            item, self._holdback = self._holdback, None
+        else:
+            item = self._q.get()
         if item is None:
             return None
         batch = [item]
@@ -117,7 +128,7 @@ class BatchingSampler:
                 self._q.put(None)  # re-deliver shutdown to the outer loop
                 break
             if rows + nxt[1] > self.batch_size:
-                self._q.put(nxt)  # doesn't fit; next cycle
+                self._holdback = nxt  # seeds the next batch, keeping order
                 break
             batch.append(nxt)
             rows += nxt[1]

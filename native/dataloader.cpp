@@ -209,6 +209,7 @@ int dmt_decode_jpeg(const uint8_t* data, uint64_t len, int out_size,
 // data/pipeline.py's Python interleave, at raw-syscall I/O depth.
 // Falls back cleanly (open returns null) where io_uring is unavailable.
 
+#include <cerrno>
 #include <fcntl.h>
 #include <linux/io_uring.h>
 #include <sys/mman.h>
@@ -324,7 +325,8 @@ struct IlStream {
   std::vector<uint8_t> chunk;
   bool read_inflight = false;
   bool eof = false;
-  bool dead = false;  // exhausted with no replacement file left
+  bool dead = false;   // exhausted with no replacement file left
+  bool error = false;  // I/O error (NOT EOF) — surfaces as -2, never silent
 };
 
 struct IlHandle {
@@ -390,7 +392,20 @@ int il_parse(IlHandle* h, IlStream& st) {
 void il_complete(IlHandle* h, uint64_t s_idx, int32_t res) {
   IlStream& st = h->streams[s_idx];
   st.read_inflight = false;
-  if (res <= 0) {  // EOF or error: close; errors surface as truncated frames
+  if (res == -EINTR || res == -EAGAIN) {  // transient: resubmit same read
+    h->ring.submit_read(st.fd, st.chunk.data(), (unsigned)h->chunk_bytes,
+                        st.file_off, s_idx);
+    st.read_inflight = true;
+    return;
+  }
+  if (res < 0) {  // real I/O error — must NOT look like clean EOF
+    close(st.fd);
+    st.fd = -1;
+    st.eof = true;
+    st.error = true;
+    return;
+  }
+  if (res == 0) {  // EOF
     close(st.fd);
     st.fd = -1;
     st.eof = true;
@@ -453,6 +468,7 @@ int64_t dmt_il_next(void* handle, uint8_t** out) {
     }
     if (rc == -2) return -2;
     if (st.eof && !st.read_inflight) {
+      if (st.error) return -2;  // read error, not clean exhaustion
       if (st.parse_off < st.pending.size()) return -2;  // partial frame
       st.pending.clear();
       st.parse_off = 0;
