@@ -171,17 +171,27 @@ class DALLE:
     def __init__(self, config: DalleConfig):
         self.cfg = config
         if config.attention_dropout > 0.0:
-            import logging  # noqa: PLC0415
-
-            logging.getLogger(__name__).warning(
-                "attention_dropout=%.3g materializes the full [S, S] softmax "
-                "weights (dense XLA path, ~%.1f MB fp32 per head-batch at "
-                "S=%d) instead of the flash kernel; prefer residual_dropout "
-                "at scale",
-                config.attention_dropout,
-                4 * config.total_seq_len**2 / 1e6,
-                config.total_seq_len,
+            from dalle_mtf_tpu.ops.attention import (  # noqa: PLC0415
+                WHOLE_ROW_MAX_SEQ,
+                _round_up,
             )
+
+            if _round_up(config.total_seq_len, 128) > WHOLE_ROW_MAX_SEQ:
+                import logging  # noqa: PLC0415
+
+                # beyond the wedge regime the kernels can't host the
+                # coordinate-hash dropout; training falls back to the dense
+                # XLA path with materialized [S, S] weights
+                logging.getLogger(__name__).warning(
+                    "attention_dropout=%.3g at S=%d (> wedge regime %d) "
+                    "materializes the full [S, S] softmax weights "
+                    "(~%.1f MB fp32 per head-batch); prefer "
+                    "residual_dropout at this scale",
+                    config.attention_dropout,
+                    config.total_seq_len,
+                    WHOLE_ROW_MAX_SEQ,
+                    4 * config.total_seq_len**2 / 1e6,
+                )
 
     # ------------------------------------------------------------------ init
 
@@ -350,13 +360,13 @@ class DALLE:
         q, k, v = (constrain(t, BATCH, HEADS, SEQ, KV) for t in (q, k, v))
         window = self._window
         if train and cfg.attention_dropout > 0.0:
-            # weight-dropout needs materialized scores; use the XLA path,
-            # which drops the softmax weights like mtf attention's
-            # dropout_rate arg (models.py:294-299)
-            from dalle_mtf_tpu.ops.attention import attention_reference  # noqa: PLC0415
-
-            a = attention_reference(
-                q, k, v, causal=True, window=window,
+            # attention-weight dropout (mtf attention's dropout_rate arg,
+            # models.py:294-299). causal_attention runs it INSIDE the wedge
+            # kernel via a coordinate-hash keep mask — no [S, S] tensor —
+            # and falls back to the dense XLA path only beyond the wedge
+            # regime (seq > WHOLE_ROW_MAX_SEQ) or off-TPU.
+            a = causal_attention(
+                q, k, v, window=window,
                 dropout_rate=cfg.attention_dropout, dropout_rng=r_attn,
             )
         elif cfg.attention_type == "ring":

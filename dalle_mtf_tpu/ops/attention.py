@@ -471,10 +471,37 @@ def _wedge_k0(i: int, block: int, window) -> int:
     return max(0, (i * block - window + 1) // block) * block
 
 
-def _wedge_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, i: int,
-                      block: int, k0: int, window, seq_len):
+
+def _dropout_keep(rows, cols, seed, rate: float):
+    """Deterministic per-position keep mask for attention-weight dropout.
+
+    A counter-based integer hash of (global row, global col, seed): any
+    kernel tile — forward, dQ prefix, or the TRANSPOSED dK/dV suffix — can
+    regenerate exactly the bits for its coordinates, so the mask is never
+    stored (no [S, S] tensor anywhere). Two xorshift-multiply rounds are
+    plenty for dropout-quality bits. rows/cols: i32 [m, n]; returns bool.
+    """
+    x = (rows.astype(jnp.uint32) * jnp.uint32(2654435761)
+         + cols.astype(jnp.uint32) * jnp.uint32(97929647)
+         + seed.astype(jnp.uint32))
+    x = x ^ (x >> jnp.uint32(13))
+    x = x * jnp.uint32(0x5BD1E995)
+    x = x ^ (x >> jnp.uint32(15))
+    x = x * jnp.uint32(0x27D4EB2F)
+    x = x ^ (x >> jnp.uint32(16))
+    # keep when hash < keep_prob in fixed point (24-bit threshold)
+    thresh = jnp.uint32(int((1.0 - rate) * float(1 << 24)))
+    return (x >> jnp.uint32(8)) < thresh
+
+
+def _wedge_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                      *, i: int, block: int, k0: int, window, seq_len,
+                      dropout_rate: float = 0.0):
     """q-block i against keys [k0, (i+1)*block): one-shot softmax over the
-    causal wedge. bf16 into the MXU, fp32 accumulate."""
+    causal wedge. bf16 into the MXU, fp32 accumulate. Attention-weight
+    dropout (mtf attention's dropout_rate) applies a coordinate-hash keep
+    mask to the normalized weights with inverted scaling — no [S, S] mask
+    tensor exists anywhere (_dropout_keep)."""
     d = q_ref.shape[-1]
     scale = 1.0 / math.sqrt(d)
     s_k = k_ref.shape[0]
@@ -494,10 +521,17 @@ def _wedge_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, i: int,
     # p == exp(0), finite lse, zero backward contribution (do rows are 0)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
+    l = jnp.sum(p, axis=-1, keepdims=True)  # normalizer of UNdropped weights
     l_safe = jnp.maximum(l, 1e-30)
+    if dropout_rate > 0.0:
+        # per-(batch*head) seed offset so heads draw independent masks
+        seed = seed_ref[0, 0] + pl.program_id(0)
+        keep = _dropout_keep(row, col, seed, dropout_rate)
+        p_v = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
+    else:
+        p_v = p
     o = jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[...], (((1,), (0,)), ((), ())),
+        p_v.astype(v_ref.dtype), v_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     o_ref[...] = (o / l_safe).astype(o_ref.dtype)
@@ -506,13 +540,17 @@ def _wedge_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, i: int,
         lse_ref[...] = jnp.broadcast_to(lse, (block, LSE_LANES))
 
 
-def _wedge_forward(q, k, v, window, interpret: bool, with_lse: bool = False):
+def _wedge_forward(q, k, v, window, interpret: bool, with_lse: bool = False,
+                   dropout_rate: float = 0.0, dropout_seed=None):
     b, h, s, d = q.shape
     block, s_pad, n_q = _wedge_layout(s)
     bh = b * h
     qf = _pad_seq(q, s_pad).reshape(bh, s_pad, d)
     kf = _pad_seq(k, s_pad).reshape(bh, s_pad, d)
     vf = _pad_seq(v, s_pad).reshape(bh, s_pad, d)
+    if dropout_seed is None:
+        dropout_seed = jnp.zeros((1, 1), jnp.int32)
+    seed = jnp.reshape(dropout_seed, (1, 1)).astype(jnp.int32)
 
     outs, lses = [], []
     seq_len = s if s != s_pad else None
@@ -527,14 +565,17 @@ def _wedge_forward(q, k, v, window, interpret: bool, with_lse: bool = False):
             out_specs.append(
                 pl.BlockSpec((None, block, LSE_LANES), lambda b_: (b_, 0, 0)))
         kern = functools.partial(_wedge_fwd_kernel, i=i, block=block, k0=k0,
-                                 window=window, seq_len=seq_len)
+                                 window=window, seq_len=seq_len,
+                                 dropout_rate=dropout_rate)
         if not with_lse:
             kern = functools.partial(
-                lambda q_, k_, v_, o_, kk: kk(q_, k_, v_, o_, None), kk=kern)
+                lambda s_, q_, k_, v_, o_, kk: kk(s_, q_, k_, v_, o_, None),
+                kk=kern)
         res = pl.pallas_call(
             kern,
             grid=(bh,),
             in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((None, block, d), lambda b_, i=i: (b_, i, 0)),
                 pl.BlockSpec((None, s_k, d), lambda b_: (b_, 0, 0)),
                 pl.BlockSpec((None, s_k, d), lambda b_: (b_, 0, 0)),
@@ -550,7 +591,7 @@ def _wedge_forward(q, k, v, window, interpret: bool, with_lse: bool = False):
                 transcendentals=bh * block * s_k,
             ),
             interpret=interpret,
-        )(qf, kf[:, k0:k0 + s_k], vf[:, k0:k0 + s_k])
+        )(seed, qf, kf[:, k0:k0 + s_k], vf[:, k0:k0 + s_k])
         res = res if isinstance(res, (list, tuple)) else [res]
         outs.append(res[0])
         if with_lse:
@@ -563,9 +604,11 @@ def _wedge_forward(q, k, v, window, interpret: bool, with_lse: bool = False):
     return out
 
 
-def _wedge_bwd_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, dsum_ref,
-                      lse_row_ref, dsum_row_ref, dq_ref, dk_ref, dv_ref,
-                      *, i: int, block: int, window, seq_len, s_pad: int):
+def _wedge_bwd_kernel(seed_ref, k_ref, v_ref, q_ref, do_ref, lse_ref,
+                      dsum_ref, lse_row_ref, dsum_row_ref,
+                      dq_ref, dk_ref, dv_ref,
+                      *, i: int, block: int, window, seq_len, s_pad: int,
+                      dropout_rate: float = 0.0):
     """Block i's dQ (vs key prefix [0,(i+1)b)) and dK/dV (vs query suffix
     [i*b, S)) in ONE program. k/v arrive as prefix views [(i+1)b, d]; q/do
     arrive FULL and are sliced statically in-kernel (VMEM-resident — no
@@ -597,6 +640,13 @@ def _wedge_bwd_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, dsum_ref,
         dob, v_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    if dropout_rate > 0.0:
+        # same coordinate-hash mask as the forward: out = c*(D o w) @ V with
+        # c = 1/keep, so dw = c*D o (dO V^T) and ds = w o (dw - dsum)
+        # (dsum = rowsum(dO o out) already equals rowsum(dw o w))
+        seed = seed_ref[0, 0] + pl.program_id(0)
+        keep = _dropout_keep(row, col, seed, dropout_rate)
+        dp = jnp.where(keep, dp * (1.0 / (1.0 - dropout_rate)), 0.0)
     ds = (p * (dp - dsum_ref[:, :1])).astype(k_ref.dtype)
     dq = jax.lax.dot_general(
         ds, k_ref[...], (((1,), (0,)), ((), ())),
@@ -621,8 +671,17 @@ def _wedge_bwd_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, dsum_ref,
         preferred_element_type=jnp.float32,
     ) * scale
     pT = jnp.where(maskT, 0.0, jnp.exp(sT - lse_row_ref[0:1, i0:]))
+    if dropout_rate > 0.0:
+        # transposed tile of the SAME mask: hash(query=qcol, key=krow)
+        seed = seed_ref[0, 0] + pl.program_id(0)
+        keepT = _dropout_keep(qcol, krow, seed, dropout_rate)
+        inv = 1.0 / (1.0 - dropout_rate)
+        pT_v = jnp.where(keepT, pT * inv, 0.0)  # dropped weights for dV
+    else:
+        keepT = None
+        pT_v = pT
     dv = jax.lax.dot_general(
-        pT.astype(dosuf.dtype), dosuf, (((1,), (0,)), ((), ())),
+        pT_v.astype(dosuf.dtype), dosuf, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     dv_ref[...] = dv.astype(dv_ref.dtype)
@@ -630,6 +689,8 @@ def _wedge_bwd_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, dsum_ref,
         vb, dosuf, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    if keepT is not None:
+        dpT = jnp.where(keepT, dpT * inv, 0.0)
     dsT = (pT * (dpT - dsum_row_ref[0:1, i0:])).astype(qsuf.dtype)
     dk = jax.lax.dot_general(
         dsT, qsuf, (((1,), (0,)), ((), ())),
@@ -638,10 +699,14 @@ def _wedge_bwd_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, dsum_ref,
     dk_ref[...] = (dk * scale).astype(dk_ref.dtype)
 
 
-def _wedge_backward(q, k, v, out, lse_flat, g, window, interpret: bool):
+def _wedge_backward(q, k, v, out, lse_flat, g, window, interpret: bool,
+                    dropout_rate: float = 0.0, dropout_seed=None):
     b, h, s, d = q.shape
     bh = b * h
     block, s_pad, n_blk = _wedge_layout(s)
+    if dropout_seed is None:
+        dropout_seed = jnp.zeros((1, 1), jnp.int32)
+    seed = jnp.reshape(dropout_seed, (1, 1)).astype(jnp.int32)
 
     # normalize the forward's lse padding to this pass's s_pad
     lse = lse_flat
@@ -668,9 +733,11 @@ def _wedge_backward(q, k, v, out, lse_flat, g, window, interpret: bool):
         s_pre = (i + 1) * block
         dq, dk, dv = pl.pallas_call(
             functools.partial(_wedge_bwd_kernel, i=i, block=block,
-                              window=window, seq_len=seq_len, s_pad=s_pad),
+                              window=window, seq_len=seq_len, s_pad=s_pad,
+                              dropout_rate=dropout_rate),
             grid=(bh,),
             in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((None, s_pre, d), lambda b_: (b_, 0, 0)),
                 pl.BlockSpec((None, s_pre, d), lambda b_: (b_, 0, 0)),
                 pl.BlockSpec((None, s_pad, d), lambda b_: (b_, 0, 0)),
@@ -689,7 +756,7 @@ def _wedge_backward(q, k, v, out, lse_flat, g, window, interpret: bool):
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel",)),
             interpret=interpret,
-        )(kf[:, :s_pre], vf[:, :s_pre], qf, gf, lse, dsum_flat,
+        )(seed, kf[:, :s_pre], vf[:, :s_pre], qf, gf, lse, dsum_flat,
           lse_row, dsum_row)
         dqs.append(dq)
         dks.append(dk)
@@ -1018,6 +1085,41 @@ def _flash_bwd(
 _flash_attention.defvjp(_flash_fwd, _flash_bwd)
 
 
+# ---- attention-weight dropout path (wedge family only). A separate
+# custom_vjp keeps the no-dropout fast path untouched; the seed is a traced
+# int32 array (cotangent float0), so changing seeds never recompiles.
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _wedge_attention_dropout(q, k, v, seed, window, interpret, rate):
+    out, _ = _wedge_forward(q, k, v, window, interpret, with_lse=True,
+                            dropout_rate=rate, dropout_seed=seed)
+    return out
+
+
+def _wedge_dropout_fwd(q, k, v, seed, window, interpret, rate):
+    from jax.ad_checkpoint import checkpoint_name  # noqa: PLC0415
+
+    out, lse = _wedge_forward(q, k, v, window, interpret, with_lse=True,
+                              dropout_rate=rate, dropout_seed=seed)
+    out = checkpoint_name(out, "attn_out")
+    lse = checkpoint_name(lse, "attn_lse")
+    return out, (q, k, v, seed, out, lse)
+
+
+def _wedge_dropout_bwd(window, interpret, rate, res, g):
+    import numpy as _np  # noqa: PLC0415
+
+    q, k, v, seed, out, lse = res
+    dq, dk, dv = _wedge_backward(q, k, v, out, lse, g, window, interpret,
+                                 dropout_rate=rate, dropout_seed=seed)
+    dseed = _np.zeros(seed.shape, dtype=jax.dtypes.float0)
+    return dq, dk, dv, dseed
+
+
+_wedge_attention_dropout.defvjp(_wedge_dropout_fwd, _wedge_dropout_bwd)
+
+
+
 def _on_tpu() -> bool:
     try:
         return jax.default_backend() not in ("cpu", "gpu")
@@ -1036,6 +1138,8 @@ def causal_attention(
     bwd_block_k: int | None = None,
     use_pallas: bool | None = None,
     interpret: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_rng: jax.Array | None = None,
 ) -> jax.Array:
     """Causal (optionally banded/local) multi-head attention.
 
@@ -1043,12 +1147,30 @@ def causal_attention(
     reference's ``local_attention_1d(radius=r)`` capability
     (models.py:257-273) as a band mask. Dispatches to the Pallas kernel on
     TPU, to the XLA reference elsewhere.
+
+    ``dropout_rate`` drops attention WEIGHTS with inverted scaling (mtf
+    attention's dropout_rate arg). In the wedge regime it runs INSIDE the
+    kernel via a coordinate-hash keep mask — no [S, S] tensor anywhere;
+    outside it (long sequences, non-pallas backends) it falls back to the
+    dense XLA reference.
     """
     if use_pallas is None:
         use_pallas = _on_tpu() or interpret
     d = q.shape[-1]
     if use_pallas and d % 128 == 0:
         s = q.shape[-2]
+        if dropout_rate > 0.0 and dropout_rng is not None:
+            if _round_up(s, 128) <= WHOLE_ROW_MAX_SEQ:
+                seed = jax.random.randint(
+                    dropout_rng, (1, 1), 0, jnp.iinfo(jnp.int32).max,
+                    dtype=jnp.int32,
+                )
+                return _wedge_attention_dropout(
+                    q, k, v, seed, window, interpret, float(dropout_rate)
+                )
+            return attention_reference(
+                q, k, v, True, window, dropout_rate, dropout_rng
+            )
         if bwd_block_q is None:
             bwd_block_q = DEFAULT_BWD_BLOCK if s % DEFAULT_BWD_BLOCK == 0 else block_q
         if bwd_block_k is None:
@@ -1057,7 +1179,9 @@ def causal_attention(
             q, k, v, window, block_q, block_k, bwd_block_q, bwd_block_k,
             interpret, BACKWARD_IMPL,
         )
-    return attention_reference(q, k, v, True, window)
+    return attention_reference(
+        q, k, v, True, window, dropout_rate, dropout_rng
+    )
 
 
 def decode_attention(

@@ -244,3 +244,83 @@ class TestWedgeKernels:
             block, s_pad, n = got
             assert block <= WEDGE_MAX_BLOCK and block % 128 == 0
             assert s_pad >= s and s_pad == block * n
+
+
+class TestAttentionDropoutKernel:
+    """Attention-weight dropout INSIDE the wedge kernels: a coordinate-hash
+    keep mask regenerated identically by the forward, the dQ prefix half,
+    and the transposed dK/dV suffix half — no [S, S] tensor anywhere."""
+
+    def _dense_same_mask(self, q, k, v, seed, rate):
+        import math
+
+        from dalle_mtf_tpu.ops.attention import NEG_INF, _dropout_keep
+
+        b, h, s, d = q.shape
+        scale = 1.0 / math.sqrt(d)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+        i = jnp.arange(s)[:, None]
+        j = jnp.arange(s)[None, :]
+        scores = jnp.where(j > i, NEG_INF, scores)
+        w = jax.nn.softmax(scores, axis=-1)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+        keeps = jnp.stack([
+            _dropout_keep(rows, cols, seed[0, 0] + bh, rate)
+            for bh in range(b * h)
+        ]).reshape(b, h, s, s)
+        wd = jnp.where(keeps, w / (1 - rate), 0.0)
+        return jnp.einsum("bhqk,bhkd->bhqd", wd, v)
+
+    def test_keep_fraction(self):
+        from dalle_mtf_tpu.ops.attention import _dropout_keep
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (512, 512), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (512, 512), 1)
+        for rate in (0.1, 0.5):
+            keep = _dropout_keep(rows, cols, jnp.int32(7), rate)
+            assert abs(float(keep.mean()) - (1 - rate)) < 0.01
+
+    @pytest.mark.parametrize("seq", [256, 768])  # 768 -> multiple wedge calls
+    def test_value_and_grad_match_dense_same_mask(self, seq):
+        from dalle_mtf_tpu.ops.attention import _wedge_attention_dropout
+
+        rate = 0.25
+        ks = jax.random.split(jax.random.PRNGKey(0), 4)
+        q, k, v = (jax.random.normal(kk, (1, 2, seq, 128), jnp.float32)
+                   for kk in ks[:3])
+        g = jax.random.normal(ks[3], q.shape, jnp.float32)
+        seed = jnp.full((1, 1), 77, jnp.int32)
+
+        with jax.default_matmul_precision("highest"):
+            out = _wedge_attention_dropout(q, k, v, seed, None, True, rate)
+            ref = self._dense_same_mask(q, k, v, seed, rate)
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), atol=2e-5
+            )
+            gp = jax.grad(
+                lambda *a: (_wedge_attention_dropout(
+                    *a, seed, None, True, rate) * g).sum(),
+                argnums=(0, 1, 2),
+            )(q, k, v)
+            gr = jax.grad(
+                lambda *a: (self._dense_same_mask(*a, seed, rate) * g).sum(),
+                argnums=(0, 1, 2),
+            )(q, k, v)
+        for a, b_ in zip(gp, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=5e-4
+            )
+
+    def test_rate_zero_matches_plain_kernel(self):
+        from dalle_mtf_tpu.ops import attention as attn_mod
+
+        ks = jax.random.split(jax.random.PRNGKey(1), 3)
+        q, k, v = (jax.random.normal(kk, (1, 2, 256, 128), jnp.float32)
+                   for kk in ks)
+        plain = causal_attention(q, k, v, use_pallas=True, interpret=True)
+        dropped0 = causal_attention(
+            q, k, v, use_pallas=True, interpret=True,
+            dropout_rate=0.0, dropout_rng=jax.random.PRNGKey(2),
+        )
+        np.testing.assert_allclose(np.asarray(plain), np.asarray(dropped0))
