@@ -171,25 +171,38 @@ class DALLE:
     def __init__(self, config: DalleConfig):
         self.cfg = config
         if config.attention_dropout > 0.0:
+            import logging  # noqa: PLC0415
+
             from dalle_mtf_tpu.ops.attention import (  # noqa: PLC0415
                 WHOLE_ROW_MAX_SEQ,
                 _round_up,
             )
 
-            if _round_up(config.total_seq_len, 128) > WHOLE_ROW_MAX_SEQ:
-                import logging  # noqa: PLC0415
-
-                # beyond the wedge regime the kernels can't host the
-                # coordinate-hash dropout; training falls back to the dense
-                # XLA path with materialized [S, S] weights
-                logging.getLogger(__name__).warning(
-                    "attention_dropout=%.3g at S=%d (> wedge regime %d) "
-                    "materializes the full [S, S] softmax weights "
-                    "(~%.1f MB fp32 per head-batch); prefer "
-                    "residual_dropout at this scale",
+            log = logging.getLogger(__name__)
+            if config.attention_type == "ring":
+                log.warning(
+                    "attention_dropout=%.3g is ignored with attention_type "
+                    "'ring': the dropout kernel is unsharded over the seq "
+                    "axis, so sequence parallelism takes precedence; use "
+                    "residual_dropout with ring attention",
+                    config.attention_dropout,
+                )
+            elif (
+                _round_up(config.total_seq_len, 128) > WHOLE_ROW_MAX_SEQ
+                or config.head_dim % 128 != 0
+            ):
+                # outside the wedge kernels' reach (long seq / non-lane-
+                # multiple head_dim; also any non-TPU backend at runtime)
+                # training falls back to the dense XLA path with
+                # materialized [S, S] weights
+                log.warning(
+                    "attention_dropout=%.3g at S=%d head_dim=%d is outside "
+                    "the wedge-kernel regime and materializes the full "
+                    "[S, S] softmax weights (~%.1f MB fp32 per head-batch); "
+                    "prefer residual_dropout at this scale",
                     config.attention_dropout,
                     config.total_seq_len,
-                    WHOLE_ROW_MAX_SEQ,
+                    config.head_dim,
                     4 * config.total_seq_len**2 / 1e6,
                 )
 
@@ -359,17 +372,7 @@ class DALLE:
         q, k, v = (checkpoint_name(t, "qkv") for t in self._qkv(p, a_in))
         q, k, v = (constrain(t, BATCH, HEADS, SEQ, KV) for t in (q, k, v))
         window = self._window
-        if train and cfg.attention_dropout > 0.0:
-            # attention-weight dropout (mtf attention's dropout_rate arg,
-            # models.py:294-299). causal_attention runs it INSIDE the wedge
-            # kernel via a coordinate-hash keep mask — no [S, S] tensor —
-            # and falls back to the dense XLA path only beyond the wedge
-            # regime (seq > WHOLE_ROW_MAX_SEQ) or off-TPU.
-            a = causal_attention(
-                q, k, v, window=window,
-                dropout_rate=cfg.attention_dropout, dropout_rng=r_attn,
-            )
-        elif cfg.attention_type == "ring":
+        if cfg.attention_type == "ring":
             # sequence-parallel attention: k/v shards rotate over the mesh
             # axis mapped by the total_seq_dim layout rule (ICI ppermute
             # ring); identical math to global attention, so sampling and
@@ -383,6 +386,19 @@ class DALLE:
                 seq_axis=cfg.ring_seq_axis,
                 batch_axis=cfg.ring_batch_axis,
                 heads_axis=cfg.ring_heads_axis,
+            )
+        elif train and cfg.attention_dropout > 0.0:
+            # attention-weight dropout (mtf attention's dropout_rate arg,
+            # models.py:294-299). causal_attention runs it INSIDE the wedge
+            # kernel via a coordinate-hash keep mask — no [S, S] tensor —
+            # and falls back to the dense XLA path beyond the wedge regime,
+            # for head_dim not a lane multiple, or off-TPU. Ring attention
+            # (above) takes precedence: the dropout kernel is unsharded
+            # over the seq axis, so ring+dropout would silently all-gather
+            # the sequence (warned at __init__).
+            a = causal_attention(
+                q, k, v, window=window,
+                dropout_rate=cfg.attention_dropout, dropout_rng=r_attn,
             )
         else:
             a = causal_attention(q, k, v, window=window)
@@ -464,6 +480,7 @@ class DALLE:
             x = pipeline_hidden(
                 body, params["layers"], layer_rngs, x, pipe_mesh,
                 cfg.pipe_axis, cfg.pipeline_microbatches,
+                scan_unroll=cfg.scan_unroll,
             )
         else:
             x, _ = jax.lax.scan(

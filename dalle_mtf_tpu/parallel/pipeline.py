@@ -39,7 +39,7 @@ import jax.numpy as jnp
 
 
 def pipeline_apply(body, layers_local, rngs_local, x, axis_name: str,
-                   num_microbatches: int):
+                   num_microbatches: int, scan_unroll: int = 1):
     """Run the layer stack as a GPipe pipeline. Call INSIDE shard_map.
 
     body: (x, (layer_params, layer_rng)) -> (x, None) — one block, already
@@ -65,7 +65,8 @@ def pipeline_apply(body, layers_local, rngs_local, x, axis_name: str,
             p, r = pr
             return body(h, (p, jax.random.fold_in(r, mb_id)))
 
-        h, _ = jax.lax.scan(scanned_body, h0, (layers_local, rngs_local))
+        h, _ = jax.lax.scan(scanned_body, h0, (layers_local, rngs_local),
+                            unroll=scan_unroll)
         return h
 
     perm = [(i, (i + 1) % n_pipe) for i in range(n_pipe)]
@@ -96,7 +97,8 @@ def pipeline_apply(body, layers_local, rngs_local, x, axis_name: str,
 
 
 def pipeline_hidden(body, layers, layer_rngs, x, mesh, pipe_axis: str,
-                    num_microbatches: int | None = None):
+                    num_microbatches: int | None = None,
+                    scan_unroll: int = 1):
     """shard_map wrapper: shard the stacked layer params/rngs over
     ``pipe_axis`` (all other mesh axes stay automatic) and run the GPipe
     schedule. layers: full stacked pytree [L, ...]; x: [B, S, E]."""
@@ -109,7 +111,7 @@ def pipeline_hidden(body, layers, layer_rngs, x, mesh, pipe_axis: str,
     layer_specs = jax.tree_util.tree_map(lambda _: P(pipe_axis), layers)
     fn = shard_map(
         partial(pipeline_apply, body, axis_name=pipe_axis,
-                num_microbatches=num_microbatches),
+                num_microbatches=num_microbatches, scan_unroll=scan_unroll),
         mesh=mesh,
         in_specs=(layer_specs, P(pipe_axis), P()),
         out_specs=P(),

@@ -327,6 +327,7 @@ struct IlStream {
   bool eof = false;
   bool dead = false;   // exhausted with no replacement file left
   bool error = false;  // I/O error (NOT EOF) — surfaces as -2, never silent
+  int transient_retries = 0;  // EINTR/EAGAIN resubmits since last success
 };
 
 struct IlHandle {
@@ -392,7 +393,14 @@ int il_parse(IlHandle* h, IlStream& st) {
 void il_complete(IlHandle* h, uint64_t s_idx, int32_t res) {
   IlStream& st = h->streams[s_idx];
   st.read_inflight = false;
-  if (res == -EINTR || res == -EAGAIN) {  // transient: resubmit same read
+  if (res == -EINTR || res == -EAGAIN) {  // transient: bounded resubmit
+    if (++st.transient_retries > 64) {  // persistent EAGAIN = error, not a
+      close(st.fd);                     // livelock in the wait loop
+      st.fd = -1;
+      st.eof = true;
+      st.error = true;
+      return;
+    }
     h->ring.submit_read(st.fd, st.chunk.data(), (unsigned)h->chunk_bytes,
                         st.file_off, s_idx);
     st.read_inflight = true;
@@ -411,6 +419,7 @@ void il_complete(IlHandle* h, uint64_t s_idx, int32_t res) {
     st.eof = true;
     return;
   }
+  st.transient_retries = 0;
   st.pending.append((const char*)st.chunk.data(), (size_t)res);
   st.file_off += (uint64_t)res;
   h->ring.submit_read(st.fd, st.chunk.data(), (unsigned)h->chunk_bytes,

@@ -312,15 +312,30 @@ class TestAttentionDropoutKernel:
                 np.asarray(a), np.asarray(b_), atol=5e-4
             )
 
-    def test_rate_zero_matches_plain_kernel(self):
-        from dalle_mtf_tpu.ops import attention as attn_mod
+    def test_rate_to_zero_limit_matches_plain_kernel(self):
+        """The dropout KERNEL at rate->0 (everything kept, scale->1) must
+        converge to the plain kernel — covers the keep-threshold arithmetic
+        itself, not just the dispatch (rate == 0.0 never enters the dropout
+        path by design)."""
+        from dalle_mtf_tpu.ops.attention import (
+            _wedge_attention_dropout,
+            _wedge_forward,
+        )
 
         ks = jax.random.split(jax.random.PRNGKey(1), 3)
         q, k, v = (jax.random.normal(kk, (1, 2, 256, 128), jnp.float32)
                    for kk in ks)
-        plain = causal_attention(q, k, v, use_pallas=True, interpret=True)
-        dropped0 = causal_attention(
+        plain = _wedge_forward(q, k, v, None, True)
+        tiny = _wedge_attention_dropout(
+            q, k, v, jnp.full((1, 1), 5, jnp.int32), None, True, 1e-7
+        )
+        np.testing.assert_allclose(
+            np.asarray(tiny), np.asarray(plain), atol=1e-5
+        )
+        # and rate == 0.0 through the public API dispatches to the plain path
+        d0 = causal_attention(
             q, k, v, use_pallas=True, interpret=True,
             dropout_rate=0.0, dropout_rng=jax.random.PRNGKey(2),
         )
-        np.testing.assert_allclose(np.asarray(plain), np.asarray(dropped0))
+        np.testing.assert_allclose(np.asarray(d0), np.asarray(plain),
+                                   atol=1e-6)
