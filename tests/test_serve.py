@@ -103,3 +103,30 @@ class TestHttpServer:
             assert ei.value.code == 400
         finally:
             srv.shutdown()
+
+
+class TestHoldbackOrdering:
+    def test_oversize_request_seeds_next_batch(self):
+        """A request that doesn't fit the in-flight batch must be served as
+        the SEED of the next batch (arrival order), not requeued behind
+        later arrivals."""
+        dalle = DALLE(CFG)
+        vae = DiscreteVAE(VAEConfig.from_params(VAE_PARAMS))
+        s = BatchingSampler(
+            dalle, dalle.init(jax.random.PRNGKey(0)),
+            vae, vae.init(jax.random.PRNGKey(1)),
+            batch_size=2, top_k=4, linger_ms=300.0,
+        )
+        try:
+            order = []
+            f1 = s.submit([1, 0, 0, 0], n=1)
+            f2 = s.submit([2, 0, 0, 0], n=2)  # can't join f1's batch
+            f3 = s.submit([3, 0, 0, 0], n=1)  # arrives after f2
+            f2.add_done_callback(lambda _: order.append(2))
+            f3.add_done_callback(lambda _: order.append(3))
+            done, not_done = wait([f1, f2, f3], timeout=240)
+            assert not not_done
+            # f2 resolved in the batch BEFORE f3 (seeded, not requeued)
+            assert order[0] == 2, order
+        finally:
+            s.close()
