@@ -12,7 +12,7 @@ kernel with a band mask — unlike the reference, it is actually reachable
 Three kernel families, dispatched on padded sequence length:
 
 - **Wedge** (default for ``s_pad <= WHOLE_ROW_MAX_SEQ`` — covers both the
-  dalle_coco hot path at S=1280 and dalle_12B at S=2304): one pallas_call
+  dalle_coco hot path at S=1280 and dalle_12B at S=2560): one pallas_call
   per q-block i with a STATIC key extent (i+1)*block, so blocks above the
   causal diagonal are never computed. Within a call: single matmul pair,
   one-shot softmax, no loops, no VMEM scratch, in-kernel iota mask.
@@ -185,8 +185,9 @@ def _pad_seq(x, s_pad):
 
 WHOLE_ROW_MAX_SEQ = 3072  # wedge regime bound: above this the [block, S]
 # fp32 score row plus resident K/V prefixes press the 16 MB VMEM limit
-# and the online-softmax loop kernels take over. Measured at S=2304
-# (dalle_12B): wedge fwd 0.76 ms vs loop 1.13 ms (BENCH.md).
+# and the online-softmax loop kernels take over (the shipped dalle_4k
+# config, S=4352, runs there). Measured at S=2560 (dalle_12B's true shape
+# with the 384px VAE): wedge beats the loop kernels (BENCH.md).
 LSE_ROWS = 8  # sublane replication for row-vector (per-query) scalars
 
 
@@ -248,16 +249,18 @@ def _wr_fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref=None):
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
     # fully-masked rows (possible for padded rows under a local window):
-    # emit 0 output and a huge lse so backward's exp(s - lse) underflows to 0
-    l_safe = jnp.where(l == 0.0, 1.0, l)
+    # with finite NEG_INF they give p == exp(0) everywhere (l == S, never
+    # 0), so detect them from the MASK and emit 0 output + a huge lse so
+    # backward's exp(s - lse) underflows to 0 for every entry of the row
+    dead = jnp.all(mask_ref[...] != 0, axis=-1, keepdims=True)
     o = jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[...],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    o_ref[...] = (o / l_safe).astype(o_ref.dtype)
+    o_ref[...] = jnp.where(dead, 0.0, o / l).astype(o_ref.dtype)
     if lse_ref is not None:
-        lse = jnp.where(l > 0.0, m + jnp.log(l_safe), -NEG_INF)
+        lse = jnp.where(dead, -NEG_INF, m + jnp.log(l))
         lse_ref[...] = jnp.broadcast_to(lse, (q_ref.shape[0], LSE_LANES))
 
 
@@ -453,11 +456,17 @@ def _wr_backward(q, k, v, out, lse_flat, g, window, interpret: bool):
 WEDGE_MAX_BLOCK = 640  # largest per-call q-block (score row [block, S] fp32)
 
 
-def _wedge_layout(s: int) -> tuple[int, int, int]:
-    """(block, s_pad, n_calls): fewest ≤WEDGE_MAX_BLOCK-sized 128-multiple
-    blocks covering round_up(s, 128)."""
+def _wedge_layout(s: int, itemsize: int = 2) -> tuple[int, int, int]:
+    """(block, s_pad, n_calls): fewest ≤max-block-sized 128-multiple
+    blocks covering round_up(s, 128).
+
+    fp32 inputs (itemsize 4) double every operand on the kernel's VMEM
+    stack — at e.g. S=2560 fp32 the two [640, S] score tiles plus fp32
+    q/do/k/v would exceed the 16 MB budget — so the per-call block halves,
+    mirroring _wr_pick_block's itemsize-aware budget."""
+    max_block = WEDGE_MAX_BLOCK if itemsize <= 2 else WEDGE_MAX_BLOCK // 2
     s128 = _round_up(s, 128)
-    n = -(-s128 // WEDGE_MAX_BLOCK)
+    n = -(-s128 // max_block)
     block = _round_up(-(-s128 // n), 128)
     return block, block * n, n
 
@@ -543,7 +552,7 @@ def _wedge_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 def _wedge_forward(q, k, v, window, interpret: bool, with_lse: bool = False,
                    dropout_rate: float = 0.0, dropout_seed=None):
     b, h, s, d = q.shape
-    block, s_pad, n_q = _wedge_layout(s)
+    block, s_pad, n_q = _wedge_layout(s, q.dtype.itemsize)
     bh = b * h
     qf = _pad_seq(q, s_pad).reshape(bh, s_pad, d)
     kf = _pad_seq(k, s_pad).reshape(bh, s_pad, d)
@@ -703,7 +712,7 @@ def _wedge_backward(q, k, v, out, lse_flat, g, window, interpret: bool,
                     dropout_rate: float = 0.0, dropout_seed=None):
     b, h, s, d = q.shape
     bh = b * h
-    block, s_pad, n_blk = _wedge_layout(s)
+    block, s_pad, n_blk = _wedge_layout(s, q.dtype.itemsize)
     if dropout_seed is None:
         dropout_seed = jnp.zeros((1, 1), jnp.int32)
     seed = jnp.reshape(dropout_seed, (1, 1)).astype(jnp.int32)
@@ -1160,7 +1169,10 @@ def causal_attention(
     if use_pallas and d % 128 == 0:
         s = q.shape[-2]
         if dropout_rate > 0.0 and dropout_rng is not None:
-            if _round_up(s, 128) <= WHOLE_ROW_MAX_SEQ:
+            # the in-kernel dropout exists only in the wedge family: under a
+            # DALLE_TPU_ATTN_SHORT=wr override fall back to the dense
+            # reference instead of silently switching kernel families
+            if _round_up(s, 128) <= WHOLE_ROW_MAX_SEQ and SHORT_IMPL == "wedge":
                 seed = jax.random.randint(
                     dropout_rng, (1, 1), 0, jnp.iinfo(jnp.int32).max,
                     dtype=jnp.int32,

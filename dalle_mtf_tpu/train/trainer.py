@@ -63,8 +63,20 @@ def num_microbatches(
     tokens_per_replica = batch_per_replica * seq_len
     n = max(1, int(np.ceil(tokens_per_replica / tokens_per_mb)))
     # must divide the global batch
+    n0 = n
     while global_batch % n != 0:
         n += 1
+    if n != n0:
+        # rounding up to a divisor shrinks the realized microbatch — at
+        # e.g. batch 10 the requested 3 microbatches become 5, silently
+        # halving tokens/microbatch vs the configured budget. Surface it.
+        logger.warning(
+            "num_microbatches rounded %d -> %d to divide global batch %d: "
+            "realized %d rows (%d tokens) per microbatch per replica vs "
+            "tokens_per_mb_per_replica=%d",
+            n0, n, global_batch, max(1, batch_per_replica // n),
+            max(1, batch_per_replica // n) * seq_len, tokens_per_mb,
+        )
     return n
 
 
@@ -119,11 +131,9 @@ class Trainer:
         )
 
     # ------------------------------------------------------------- sharding
-
-    def _constrain(self, x, *axes):
-        return jax.lax.with_sharding_constraint(
-            x, named_sharding(self.mesh, self.rules, axes)
-        )
+    # (activation constraints are built by parallel.mesh.make_constrain and
+    # passed into the task's loss closure by the driver — the Trainer only
+    # shards params and batches)
 
     def _param_shardings(self):
         return jax.tree_util.tree_map(
@@ -445,10 +455,16 @@ class Trainer:
         step = start
         first = True
         while step < train_steps:
-            next_log = (step // log_every + 1) * log_every
-            next_ckpt = (step // steps_per_ckpt + 1) * steps_per_ckpt
-            k = min(iterations, next_log - step, next_ckpt - step,
-                    train_steps - step)
+            # k is FIXED at `iterations` (or 1): every distinct chunk length
+            # is a separate XLA compile of the K-step scanned program —
+            # minutes per variant at scale — so instead of shrinking chunks
+            # to hit log/ckpt boundaries exactly, logging and checkpointing
+            # land on the nearest chunk boundary (only the final partial
+            # chunk falls back to single steps, which reuse the first-step
+            # executable).
+            k = min(iterations, train_steps - step)
+            if k < iterations:
+                k = 1
             if first:
                 k = 1  # surface the first step's metrics immediately
             if k > 1:
@@ -461,7 +477,7 @@ class Trainer:
                     state, next(data_iter), jax.random.fold_in(step_rng, step)
                 )
             step += k
-            if step % log_every == 0 or first:
+            if (step // log_every) > ((step - k) // log_every) or first:
                 first = False
                 m = {k_: float(jax.device_get(v)) for k_, v in metrics.items()}
                 now = time.time()
@@ -475,7 +491,7 @@ class Trainer:
                     m.get("lr", 0.0), m.get("grad_norm", 0.0), sps,
                 )
 
-            if step % steps_per_ckpt == 0 or step == train_steps:
+            if (step // steps_per_ckpt) > ((step - k) // steps_per_ckpt) or step == train_steps:
                 self.save(state)
                 if eval_steps and eval_data_iter is not None:
                     eval_rng = jax.random.fold_in(rng, 2)

@@ -341,12 +341,20 @@ struct IlHandle {
   std::string record;  // returned record storage (stable until next call)
 };
 
-// open the next unopened path into stream slot s; false if none left
+// open the next unopened path into stream slot s; false if none left.
+// An open() failure (EACCES, EMFILE, a file deleted after the Python-side
+// isfile pre-check, ...) marks the stream error — the Python interleave
+// this reader claims byte-identical order with would raise, so silently
+// skipping the shard would make its records vanish from the epoch.
 bool il_refill(IlHandle* h, size_t s) {
   IlStream& st = h->streams[s];
   while (h->next_path < h->paths.size()) {
     int fd = open(h->paths[h->next_path++].c_str(), O_RDONLY);
-    if (fd < 0) continue;
+    if (fd < 0) {
+      st.eof = true;
+      st.error = true;  // surfaces as -2 at the cursor, not a silent skip
+      return true;      // slot occupied (by the error), not exhausted
+    }
     st.fd = fd;
     st.file_off = 0;
     st.eof = false;
@@ -502,3 +510,273 @@ void dmt_il_close(void* handle) {
 }
 
 }  // extern "C" (dmt_il_*)
+
+// --------------------------- parallel parse+decode pool (tf.data C++ map
+// equivalent). The Python pipeline's per-record overhead — proto walk,
+// bytes copies, executor bookkeeping — dominates single-image cost once the
+// decode itself is native; this pool takes raw TFRecord payloads and
+// returns decoded float images + caption ids, with the proto walk AND the
+// jpeg decode in C++ worker threads. Results come back in STRICT submission
+// order (the shuffle window downstream relies on deterministic order).
+
+#include <condition_variable>
+#include <deque>
+#include <map>
+#include <mutex>
+#include <thread>
+
+namespace {
+
+// minimal proto varint; false on truncation
+static bool pv_varint(const uint8_t*& p, const uint8_t* end, uint64_t* v) {
+  uint64_t out = 0;
+  int shift = 0;
+  while (p < end && shift < 64) {
+    uint8_t b = *p++;
+    out |= (uint64_t)(b & 0x7f) << shift;
+    if (!(b & 0x80)) {
+      *v = out;
+      return true;
+    }
+    shift += 7;
+  }
+  return false;
+}
+
+// skip one field of the given wire type
+static bool pv_skip(const uint8_t*& p, const uint8_t* end, int wire) {
+  uint64_t v;
+  switch (wire) {
+    case 0: return pv_varint(p, end, &v);
+    case 1: if (end - p < 8) return false; p += 8; return true;
+    case 2:
+      if (!pv_varint(p, end, &v) || (uint64_t)(end - p) < v) return false;
+      p += v;
+      return true;
+    case 5: if (end - p < 4) return false; p += 4; return true;
+    default: return false;
+  }
+}
+
+struct ExampleView {
+  const uint8_t* img = nullptr;
+  uint64_t img_len = 0;
+  const uint8_t* ints = nullptr;   // packed varint int64 payload ("caption")
+  uint64_t ints_len = 0;
+  bool ints_unpacked = false;      // repeated unpacked varints instead
+};
+
+// Walk Example{1: Features{1: repeated MapEntry{1: key, 2: Feature}}};
+// Feature{1: BytesList{1: bytes}, 3: Int64List{1: int64s}}. Mirrors the
+// Python codec in data/tfrecord.py:134-213. Returns false on malformed
+// input (caller falls back to the Python parser).
+static bool parse_example_view(const uint8_t* rec, uint64_t len,
+                               ExampleView* out) {
+  const uint8_t* p = rec;
+  const uint8_t* end = rec + len;
+  while (p < end) {
+    uint64_t tag;
+    if (!pv_varint(p, end, &tag)) return false;
+    if ((tag >> 3) != 1 || (tag & 7) != 2) {  // Example.features
+      if (!pv_skip(p, end, tag & 7)) return false;
+      continue;
+    }
+    uint64_t flen;
+    if (!pv_varint(p, end, &flen) || (uint64_t)(end - p) < flen) return false;
+    const uint8_t* fend = p + flen;
+    while (p < fend) {  // Features: repeated map entries
+      uint64_t etag;
+      if (!pv_varint(p, fend, &etag)) return false;
+      if ((etag >> 3) != 1 || (etag & 7) != 2) {
+        if (!pv_skip(p, fend, etag & 7)) return false;
+        continue;
+      }
+      uint64_t elen;
+      if (!pv_varint(p, fend, &elen) || (uint64_t)(fend - p) < elen) return false;
+      const uint8_t* eend = p + elen;
+      const uint8_t* key = nullptr;
+      uint64_t key_len = 0;
+      const uint8_t* feat = nullptr;
+      uint64_t feat_len = 0;
+      while (p < eend) {  // MapEntry
+        uint64_t mtag;
+        if (!pv_varint(p, eend, &mtag)) return false;
+        uint64_t mlen;
+        if ((mtag & 7) != 2) {
+          if (!pv_skip(p, eend, mtag & 7)) return false;
+          continue;
+        }
+        if (!pv_varint(p, eend, &mlen) || (uint64_t)(eend - p) < mlen) return false;
+        if ((mtag >> 3) == 1) { key = p; key_len = mlen; }
+        else if ((mtag >> 3) == 2) { feat = p; feat_len = mlen; }
+        p += mlen;
+      }
+      if (key && feat) {
+        bool is_img = key_len == 5 && memcmp(key, "image", 5) == 0;
+        bool is_cap = key_len == 7 && memcmp(key, "caption", 7) == 0;
+        if (is_img || is_cap) {
+          const uint8_t* q = feat;
+          const uint8_t* qend = feat + feat_len;
+          while (q < qend) {  // Feature oneof
+            uint64_t ftag;
+            if (!pv_varint(q, qend, &ftag)) return false;
+            if ((ftag & 7) != 2) {
+              if (!pv_skip(q, qend, ftag & 7)) return false;
+              continue;
+            }
+            uint64_t list_len;
+            if (!pv_varint(q, qend, &list_len) || (uint64_t)(qend - q) < list_len)
+              return false;
+            const uint8_t* list = q;
+            const uint8_t* lend = q + list_len;
+            q += list_len;
+            if (is_img && (ftag >> 3) == 1) {  // BytesList: first value
+              const uint8_t* r = list;
+              uint64_t btag, blen;
+              if (!pv_varint(r, lend, &btag) || (btag >> 3) != 1) return false;
+              if (!pv_varint(r, lend, &blen) || (uint64_t)(lend - r) < blen)
+                return false;
+              out->img = r;
+              out->img_len = blen;
+            } else if (is_cap && (ftag >> 3) == 3) {  // Int64List
+              const uint8_t* r = list;
+              uint64_t itag;
+              const uint8_t* save = r;
+              if (pv_varint(r, lend, &itag) && (itag >> 3) == 1) {
+                if ((itag & 7) == 2) {  // packed
+                  uint64_t plen;
+                  if (!pv_varint(r, lend, &plen) || (uint64_t)(lend - r) < plen)
+                    return false;
+                  out->ints = r;
+                  out->ints_len = plen;
+                } else {  // repeated unpacked varints incl. their tags
+                  out->ints = save;
+                  out->ints_len = lend - save;
+                  out->ints_unpacked = true;
+                }
+              }
+            }
+          }
+        }
+      }
+      p = eend;
+    }
+    p = fend;
+  }
+  return true;
+}
+
+static int decode_caption(const ExampleView& v, int32_t* cap, int cap_max) {
+  if (!v.ints || cap_max <= 0) return 0;
+  const uint8_t* p = v.ints;
+  const uint8_t* end = v.ints + v.ints_len;
+  int n = 0;
+  while (p < end && n < cap_max) {
+    uint64_t val;
+    if (v.ints_unpacked) {  // skip the per-element tag
+      uint64_t tag;
+      if (!pv_varint(p, end, &tag)) break;
+    }
+    if (!pv_varint(p, end, &val)) break;
+    cap[n++] = (int32_t)(int64_t)val;
+  }
+  return n;
+}
+
+struct DecJob {
+  const uint8_t* rec;
+  uint64_t len;
+  float* out;
+  int32_t* cap;
+  int cap_max;
+  uint64_t seq;
+};
+
+struct DecDone {
+  int rc;     // 0 ok; 1 bad jpeg; 2 malformed/missing image feature
+  int cap_n;
+};
+
+struct DecPool {
+  int size, channels;
+  std::vector<std::thread> threads;
+  std::mutex mu;
+  std::condition_variable cv_in, cv_out;
+  std::deque<DecJob> inq;
+  std::map<uint64_t, DecDone> done;
+  bool closing = false;
+
+  void worker() {
+    for (;;) {
+      DecJob job;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_in.wait(lk, [&] { return closing || !inq.empty(); });
+        if (inq.empty()) return;  // closing
+        job = inq.front();
+        inq.pop_front();
+      }
+      DecDone d{2, 0};
+      ExampleView v;
+      if (parse_example_view(job.rec, job.len, &v) && v.img) {
+        d.cap_n = decode_caption(v, job.cap, job.cap_max);
+        d.rc = dmt_decode_jpeg(v.img, v.img_len, size, channels, job.out);
+      }
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        done[job.seq] = d;
+      }
+      cv_out.notify_all();
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* dmt_pool_open(int n_threads, int size, int channels) {
+  if (n_threads < 1) n_threads = 1;
+  DecPool* p = new DecPool;
+  p->size = size;
+  p->channels = channels;
+  for (int i = 0; i < n_threads; ++i)
+    p->threads.emplace_back([p] { p->worker(); });
+  return p;
+}
+
+void dmt_pool_submit(void* handle, const uint8_t* rec, uint64_t len,
+                     uint64_t seq, float* out, int32_t* cap, int cap_max) {
+  DecPool* p = (DecPool*)handle;
+  {
+    std::lock_guard<std::mutex> lk(p->mu);
+    p->inq.push_back(DecJob{rec, len, out, cap, cap_max, seq});
+  }
+  p->cv_in.notify_one();
+}
+
+// Blocks until job `seq` is finished; returns rc and writes *cap_n.
+// The caller collects seqs in submission order for deterministic output.
+int dmt_pool_wait(void* handle, uint64_t seq, int* cap_n) {
+  DecPool* p = (DecPool*)handle;
+  std::unique_lock<std::mutex> lk(p->mu);
+  p->cv_out.wait(lk, [&] { return p->done.count(seq) != 0; });
+  DecDone d = p->done[seq];
+  p->done.erase(seq);
+  *cap_n = d.cap_n;
+  return d.rc;
+}
+
+void dmt_pool_close(void* handle) {
+  DecPool* p = (DecPool*)handle;
+  {
+    std::lock_guard<std::mutex> lk(p->mu);
+    p->closing = true;
+    p->inq.clear();  // outstanding jobs are dropped; caller drained first
+  }
+  p->cv_in.notify_all();
+  for (auto& t : p->threads) t.join();
+  delete p;
+}
+
+}  // extern "C" (dmt_pool_*)
