@@ -59,7 +59,9 @@ class DalleConfig:
     n_heads: int = 8
     bf_16: bool = False
     recompute_grad: bool = False
-    attention_type: str = "global"  # "global" | "local" | "ring"
+    # "global" | "local" | "ring" | "local_ring" (windowed attention over a
+    # sequence-parallel ring)
+    attention_type: str = "global"
     local_attention_radius: int = 256  # reference default (models.py:259)
     # mesh axes for attention_type "ring" (sequence parallelism) — taken
     # from the config's layout rules when built via from_params: the
@@ -68,6 +70,10 @@ class DalleConfig:
     ring_seq_axis: str = "seq"
     ring_batch_axis: str | None = "data"
     ring_heads_axis: str | None = None
+    # mesh axis the vocab dim shards over (layout rule ``vocab_dim:<axis>``)
+    # — routes the fused xent to its shard-local-lse + psum path so no
+    # gathered [*, V] logits ever exist under TP
+    vocab_axis: str | None = None
     # layer-scan unrolling: 1 = one compiled block (fast compile, scan
     # carries stack saved residuals via dynamic-update-slice); n_layers =
     # straight-line layers (XLA addresses each layer's residuals directly —
@@ -117,6 +123,7 @@ class DalleConfig:
             ring_seq_axis=rules.get(SEQ) or "seq",
             ring_batch_axis=rules.get(BATCH) or "data",
             ring_heads_axis=rules.get(HEADS),
+            vocab_axis=rules.get(VOCAB),
             pipe_axis=rules.get(LAYERS),
             pipeline_microbatches=params.get("pipeline_microbatches"),
             scan_unroll=int(params.get("scan_unroll") or 1),
@@ -179,14 +186,9 @@ class DALLE:
             )
 
             log = logging.getLogger(__name__)
-            if config.attention_type == "ring":
-                log.warning(
-                    "attention_dropout=%.3g is ignored with attention_type "
-                    "'ring': the dropout kernel is unsharded over the seq "
-                    "axis, so sequence parallelism takes precedence; use "
-                    "residual_dropout with ring attention",
-                    config.attention_dropout,
-                )
+            if config.attention_type in ("ring", "local_ring"):
+                pass  # hash dropout runs inside the ring kernels (global
+                # coordinates per hop) — composes with SP, nothing to warn
             elif (
                 _round_up(config.total_seq_len, 128) > WHOLE_ROW_MAX_SEQ
                 or config.head_dim % 128 != 0
@@ -308,9 +310,13 @@ class DALLE:
     def _window(self):
         return (
             self.cfg.local_attention_radius
-            if self.cfg.attention_type == "local"
+            if self.cfg.attention_type in ("local", "local_ring")
             else None
         )
+
+    @property
+    def _is_ring(self):
+        return self.cfg.attention_type in ("ring", "local_ring")
 
     def _w(self, p, name):
         """Weight getter: dequantizes int8 serving weights transparently
@@ -372,11 +378,16 @@ class DALLE:
         q, k, v = (checkpoint_name(t, "qkv") for t in self._qkv(p, a_in))
         q, k, v = (constrain(t, BATCH, HEADS, SEQ, KV) for t in (q, k, v))
         window = self._window
-        if cfg.attention_type == "ring":
+        drop = cfg.attention_dropout if train else 0.0
+        if self._is_ring:
             # sequence-parallel attention: k/v shards rotate over the mesh
             # axis mapped by the total_seq_dim layout rule (ICI ppermute
             # ring); identical math to global attention, so sampling and
-            # single-device eval fall back to the fused kernel
+            # single-device eval fall back to the fused kernel. The local
+            # window ("local_ring") and attention-weight hash dropout both
+            # ride the ring's global coordinates, so SP composes with every
+            # attention mode (mtf attention took dropout_rate in all modes,
+            # models.py:294-299).
             from dalle_mtf_tpu.ops.ring_attention import (  # noqa: PLC0415
                 ring_attention_auto,
             )
@@ -386,19 +397,19 @@ class DALLE:
                 seq_axis=cfg.ring_seq_axis,
                 batch_axis=cfg.ring_batch_axis,
                 heads_axis=cfg.ring_heads_axis,
+                window=window,
+                dropout_rate=drop,
+                dropout_rng=r_attn if drop > 0.0 else None,
             )
-        elif train and cfg.attention_dropout > 0.0:
+        elif drop > 0.0:
             # attention-weight dropout (mtf attention's dropout_rate arg,
             # models.py:294-299). causal_attention runs it INSIDE the wedge
             # kernel via a coordinate-hash keep mask — no [S, S] tensor —
             # and falls back to the dense XLA path beyond the wedge regime,
-            # for head_dim not a lane multiple, or off-TPU. Ring attention
-            # (above) takes precedence: the dropout kernel is unsharded
-            # over the seq axis, so ring+dropout would silently all-gather
-            # the sequence (warned at __init__).
+            # for head_dim not a lane multiple, or off-TPU.
             a = causal_attention(
                 q, k, v, window=window,
-                dropout_rate=cfg.attention_dropout, dropout_rng=r_attn,
+                dropout_rate=drop, dropout_rng=r_attn,
             )
         else:
             a = causal_attention(q, k, v, window=window)
@@ -482,6 +493,15 @@ class DALLE:
                 cfg.pipe_axis, cfg.pipeline_microbatches,
                 scan_unroll=cfg.scan_unroll,
             )
+            # The loss head (final LN + the [B, S, 50k] logits matmul +
+            # xent) would otherwise run GSPMD-replicated over the pipe axis
+            # — P× repeated work, ~15% of the step. Re-sharding the batch
+            # rows over (data, pipe) here makes every downstream head op
+            # compute each row exactly once across the pipe group (the
+            # reference computed its loss once, models.py:391-416); the
+            # per-position losses are tiny, so whatever gather the caller's
+            # mean/slicing needs afterwards is noise.
+            x = self._shard_head_rows(x, pipe_mesh)
         else:
             x, _ = jax.lax.scan(
                 body, x, (params["layers"], layer_rngs),
@@ -489,6 +509,26 @@ class DALLE:
             )
 
         return self._layer_norm(x, params["lnf_g"], params["lnf_b"])
+
+    def _shard_head_rows(self, x, mesh):
+        """Constrain [B, S, E] batch rows over (batch_axis, pipe_axis) so
+        the loss head is computed once per row across the pipe group instead
+        of replicated P times. Skipped if B doesn't divide."""
+        from jax.sharding import NamedSharding, PartitionSpec  # noqa: PLC0415
+
+        cfg = self.cfg
+        axes = []
+        if cfg.ring_batch_axis and cfg.ring_batch_axis in mesh.axis_names:
+            axes.append(cfg.ring_batch_axis)
+        axes.append(cfg.pipe_axis)
+        total = 1
+        for a in axes:
+            total *= mesh.shape[a]
+        if x.shape[0] % total != 0:
+            return x
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, PartitionSpec(tuple(axes)))
+        )
 
     def _pipe_mesh(self):
         """The ambient mesh when pipeline parallelism is active (a
@@ -559,20 +599,23 @@ class DALLE:
         labels = self.shifted_labels(tokens)
 
         if fused_xent:
-            from dalle_mtf_tpu.ops.xent_fused import chunked_softmax_xent  # noqa: PLC0415
+            from dalle_mtf_tpu.ops.xent_fused import (  # noqa: PLC0415
+                chunked_softmax_xent_auto,
+            )
 
             dtype = cfg.policy.compute_dtype
             x = self.hidden(params, tokens, rng, train, constrain)
             b_, s_, e_ = x.shape
             n = b_ * s_
             num_chunks = next(c for c in (8, 4, 2, 1) if n % c == 0)
-            loss_flat = chunked_softmax_xent(
+            loss_flat = chunked_softmax_xent_auto(
                 x.reshape(n, e_),
                 params["w_out"].astype(dtype),
                 params["b_out"],
                 labels.reshape(n),
                 z_loss,
                 num_chunks,
+                vocab_axis=cfg.vocab_axis,
             )
             loss_batch = loss_flat.reshape(b_, s_)
         else:

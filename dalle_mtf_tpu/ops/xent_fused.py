@@ -10,6 +10,16 @@ shape — headroom that buys a larger per-chip batch.
 
 Semantics identical to ops/losses.py::softmax_cross_entropy_with_logits on
 logits = x @ w + b (fp32 accumulation, z-loss supported).
+
+Tensor-parallel variant: under a ``vocab_dim:model`` layout the [E, V]
+projection is sharded on V, and the reference's mtf xent reduced over the
+split vocab dim natively (mtf softmax_cross_entropy_with_logits,
+models.py:348-351) — no gathered logits. ``chunked_softmax_xent_auto``
+reproduces that: a ``shard_map`` manual over the vocab mesh axis computes
+shard-local max/sum-exp and the target logit of the one shard that owns it,
+combines them with ``pmax``/``psum`` (scalars-per-row only on the wire),
+and accumulates dw/db shard-local in the backward — the full-vocab logits
+or their gradient never exist on any device.
 """
 
 from __future__ import annotations
@@ -106,3 +116,165 @@ def _xent_bwd(z_loss, num_chunks, res, g):
 
 
 chunked_softmax_xent.defvjp(_xent_fwd, _xent_bwd)
+
+
+# ------------------------------------------------------- vocab-sharded (TP)
+
+def _tp_chunk_fwd(x_c, w, b, t_c, z_loss, axis_name, v0):
+    """One row-chunk against the LOCAL vocab shard. Returns (loss, lse),
+    both identical across vocab shards after the collectives."""
+    vl = w.shape[1]
+    logits = (
+        jnp.einsum("ne,ev->nv", x_c, w, preferred_element_type=jnp.float32)
+        + b
+    )
+    m = jax.lax.pmax(jnp.max(logits, axis=-1), axis_name)
+    sumexp = jax.lax.psum(
+        jnp.sum(jnp.exp(logits - m[:, None]), axis=-1), axis_name
+    )
+    lse = m + jnp.log(sumexp)
+    t_rel = t_c.astype(jnp.int32) - v0
+    mine = (t_rel >= 0) & (t_rel < vl)
+    tgt_loc = jnp.take_along_axis(
+        logits, jnp.clip(t_rel, 0, vl - 1)[:, None], axis=-1
+    )[:, 0]
+    tgt = jax.lax.psum(jnp.where(mine, tgt_loc, 0.0), axis_name)
+    loss = lse - tgt
+    if z_loss:
+        loss = loss + z_loss * jnp.square(lse)
+    return loss, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def tp_chunked_softmax_xent(
+    x, w, b, targets, z_loss: float, num_chunks: int, axis_name: str
+):
+    """chunked_softmax_xent with the vocab dim sharded over mesh axis
+    ``axis_name``. Call INSIDE shard_map (manual over that axis): w [E, Vl]
+    and b [Vl] are the LOCAL shards; x [N, E] and targets [N] are
+    replicated across the axis. Returns per-row loss [N] f32 (identical on
+    every shard). Only per-row scalars (max, sum-exp, target logit) and the
+    [N, E] dx ride the collectives — never a [*, V] tensor."""
+    loss, _ = _tp_fwd_impl(x, w, b, targets, z_loss, num_chunks, axis_name)
+    return loss
+
+
+def _tp_fwd_impl(x, w, b, targets, z_loss, num_chunks, axis_name):
+    n = x.shape[0]
+    assert n % num_chunks == 0, (n, num_chunks)
+    vl = w.shape[1]
+    v0 = jax.lax.axis_index(axis_name) * vl
+    xc = x.reshape(num_chunks, n // num_chunks, -1)
+    tc = targets.reshape(num_chunks, -1)
+
+    def body(_, xs):
+        x_c, t_c = xs
+        return None, _tp_chunk_fwd(x_c, w, b, t_c, z_loss, axis_name, v0)
+
+    _, (loss, lse) = jax.lax.scan(body, None, (xc, tc))
+    return loss.reshape(n), lse.reshape(n)
+
+
+def _tp_xent_fwd(x, w, b, targets, z_loss, num_chunks, axis_name):
+    loss, lse = _tp_fwd_impl(x, w, b, targets, z_loss, num_chunks, axis_name)
+    return loss, (x, w, b, targets, lse)
+
+
+def _tp_xent_bwd(z_loss, num_chunks, axis_name, res, g):
+    x, w, b, targets, lse = res
+    n, e = x.shape
+    vl = w.shape[1]
+    v0 = jax.lax.axis_index(axis_name) * vl
+    xc = x.reshape(num_chunks, n // num_chunks, e)
+    tc = targets.reshape(num_chunks, -1)
+    gc = g.reshape(num_chunks, -1)
+    lsec = lse.reshape(num_chunks, -1)
+
+    def body(carry, xs):
+        dw_acc, db_acc = carry
+        x_c, t_c, g_c, lse_c = xs
+        logits = (
+            jnp.einsum("ne,ev->nv", x_c, w, preferred_element_type=jnp.float32)
+            + b
+        )
+        # local slice of the global softmax: lse already includes every shard
+        p = jnp.exp(logits - lse_c[:, None])
+        scale = 1.0 + (2.0 * z_loss * lse_c[:, None] if z_loss else 0.0)
+        dlogits = p * scale
+        t_rel = t_c.astype(jnp.int32) - v0
+        mine = (t_rel >= 0) & (t_rel < vl)
+        dlogits = dlogits.at[
+            jnp.arange(dlogits.shape[0])[:, None],
+            jnp.clip(t_rel, 0, vl - 1)[:, None],
+        ].add(jnp.where(mine, -1.0, 0.0)[:, None])
+        dlogits = dlogits * g_c[:, None]
+        # dx sums contributions from every vocab shard
+        dx_c = jax.lax.psum(
+            jnp.einsum(
+                "nv,ev->ne", dlogits.astype(w.dtype), w,
+                preferred_element_type=jnp.float32,
+            ),
+            axis_name,
+        ).astype(x_c.dtype)
+        dw_acc = dw_acc + jnp.einsum(
+            "ne,nv->ev", x_c.astype(jnp.float32), dlogits,
+            preferred_element_type=jnp.float32,
+        )
+        db_acc = db_acc + dlogits.sum(0)
+        return (dw_acc, db_acc), dx_c
+
+    dw0 = jnp.zeros(w.shape, jnp.float32) + w.astype(jnp.float32) * 0.0
+    db0 = jnp.zeros(b.shape, jnp.float32) + b.astype(jnp.float32) * 0.0
+    (dw, db), dx = jax.lax.scan(body, (dw0, db0), (xc, tc, gc, lsec))
+    return dx.reshape(n, e), dw.astype(w.dtype), db, None
+
+
+tp_chunked_softmax_xent.defvjp(_tp_xent_fwd, _tp_xent_bwd)
+
+
+def chunked_softmax_xent_auto(
+    x, w, b, targets, z_loss: float = 0.0, num_chunks: int = 8,
+    vocab_axis: str | None = None,
+):
+    """Dispatch to the vocab-sharded path when a ``vocab_dim:<axis>`` layout
+    rule names an in-scope mesh axis of size > 1; else the single-shard
+    streaming op. A vocab not divisible by the axis (50771 under model:2)
+    is padded: zero weight columns with a -1e10 bias can never win the max,
+    add ~0 to sum-exp, and get ~0 gradient; jnp.pad's VJP slices dw/db back."""
+    if vocab_axis is not None:
+        from dalle_mtf_tpu.ops.ring_attention import ambient_mesh  # noqa: PLC0415
+
+        mesh = ambient_mesh()
+        if (
+            mesh is not None
+            and vocab_axis in mesh.axis_names
+            and mesh.shape[vocab_axis] > 1
+        ):
+            from jax import shard_map  # noqa: PLC0415
+            from jax.sharding import PartitionSpec as P  # noqa: PLC0415
+
+            m = mesh.shape[vocab_axis]
+            v = w.shape[1]
+            # pad V to a multiple of 128*m so each local shard keeps full
+            # lanes (a ragged last shard would re-tile every chunk matmul)
+            v_pad = ((v + 128 * m - 1) // (128 * m)) * (128 * m)
+            if v_pad != v:
+                w = jnp.pad(w, ((0, 0), (0, v_pad - v)))
+                b = jnp.pad(b, (0, v_pad - v), constant_values=-1e10)
+            fn = shard_map(
+                functools.partial(
+                    tp_chunked_softmax_xent, z_loss=z_loss,
+                    num_chunks=num_chunks, axis_name=vocab_axis,
+                ),
+                mesh=mesh,
+                in_specs=(P(), P(None, vocab_axis), P(vocab_axis), P()),
+                out_specs=P(),
+                # manual over the vocab axis only: the row (batch) dim keeps
+                # its automatic data/pipe sharding inside. check_vma stays ON
+                # (pure jnp + collectives in the body): disabling it makes
+                # shard_map's transpose of the replicated in/out specs
+                # mis-scale cotangents by the axis size.
+                axis_names=frozenset({vocab_axis}),
+            )
+            return fn(x, w, b, targets)
+    return chunked_softmax_xent(x, w, b, targets, z_loss, num_chunks)

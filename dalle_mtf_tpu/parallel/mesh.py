@@ -212,3 +212,29 @@ def constrain(x, mesh: Mesh, rules: dict[str, str], *logical_axes: str | None):
     return jax.lax.with_sharding_constraint(
         x, named_sharding(mesh, rules, logical_axes)
     )
+
+
+def make_constrain(params, mesh: Mesh | None = None):
+    """(mesh, constrain) from a config's ``mesh_shape``/``layout`` strings.
+
+    The closure maps logical dimension names -> mesh axes through the layout
+    rules, skipping constraints that don't divide (mtf's solver likewise
+    refused non-divisible splits) so tiny debug shapes never crash.
+    """
+    if mesh is None:
+        mesh = build_mesh(params.get("mesh_shape"))
+    rules = parse_layout(params.get("layout"))
+
+    def _constrain(x, *logical_axes):
+        spec = []
+        for dim, name in zip(x.shape, logical_axes):
+            axis = rules.get(name) if name is not None else None
+            if axis is not None and axis in mesh.shape and dim % mesh.shape[axis] == 0:
+                spec.append(axis)
+            else:
+                spec.append(None)
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, PartitionSpec(*spec))
+        )
+
+    return mesh, _constrain

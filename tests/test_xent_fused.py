@@ -1,10 +1,16 @@
+import re
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from dalle_mtf_tpu.ops.losses import softmax_cross_entropy_with_logits
-from dalle_mtf_tpu.ops.xent_fused import chunked_softmax_xent
+from dalle_mtf_tpu.ops.xent_fused import (
+    chunked_softmax_xent,
+    chunked_softmax_xent_auto,
+)
+from dalle_mtf_tpu.parallel.mesh import build_mesh
 
 
 @pytest.mark.parametrize("z_loss", [0.0, 1e-2])
@@ -28,6 +34,69 @@ def test_fused_matches_unfused_loss_and_grads(z_loss):
     np.testing.assert_allclose(float(lu), float(lf), rtol=1e-6)
     for a, b_ in zip(gu, gf):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+
+
+@pytest.mark.parametrize("z_loss", [0.0, 1e-2])
+def test_tp_vocab_sharded_matches_unsharded(z_loss):
+    """Vocab-sharded fused xent (shard-local lse + psum over ``model``) must
+    reproduce the single-shard op exactly, including through the ragged-vocab
+    padding path (53 % 4 != 0)."""
+    n, e, v = 32, 16, 53
+    mesh = build_mesh("data:2,model:4")
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    x = jax.random.normal(ks[0], (n, e), jnp.float32)
+    w = jax.random.normal(ks[1], (e, v), jnp.float32) * 0.1
+    b = jax.random.normal(ks[2], (v,), jnp.float32) * 0.1
+    t = jax.random.randint(ks[3], (n,), 0, v)
+
+    def ref(x_, w_, b_):
+        return chunked_softmax_xent(x_, w_, b_, t, z_loss, 4).mean()
+
+    def tp(x_, w_, b_):
+        return chunked_softmax_xent_auto(
+            x_, w_, b_, t, z_loss, 4, vocab_axis="model"
+        ).mean()
+
+    lu, gu = jax.value_and_grad(ref, argnums=(0, 1, 2))(x, w, b)
+    with mesh:
+        lf, gf = jax.jit(jax.value_and_grad(tp, argnums=(0, 1, 2)))(x, w, b)
+    np.testing.assert_allclose(float(lu), float(lf), rtol=1e-6)
+    for a, b_ in zip(gu, gf):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+
+
+def test_tp_xent_hlo_has_no_gathered_logits():
+    """Under ``vocab_dim:model`` the compiled train-loss HLO must not gather
+    a [rows, vocab] logits operand — the whole point of the sharded lse."""
+    from dalle_mtf_tpu.models.dalle import DALLE, DalleConfig
+
+    mesh = build_mesh("data:2,model:4")
+    cfg = DalleConfig(
+        n_embd=32, text_vocab_size=40, image_vocab_size=16,
+        text_seq_len=8, image_seq_len=8, n_layers=2, n_heads=4,
+        vocab_axis="model",
+    )
+    model = DALLE(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    tokens = jax.random.randint(
+        jax.random.PRNGKey(1), (4, cfg.total_seq_len), 0, cfg.total_tokens
+    )
+    n_rows = 4 * cfg.total_seq_len
+
+    def loss_fn(p):
+        return model.loss(p, tokens, train=True, fused_xent=True)[0]
+
+    with mesh:
+        hlo = jax.jit(jax.grad(loss_fn)).lower(params).compile().as_text()
+    # any all-gather whose result carries >= n_rows * (v/m) f32 elements
+    # would be a gathered logits tensor (v=57 pads to 512; local shard 128)
+    limit = n_rows * (512 // 4)
+    for line in hlo.splitlines():
+        if "all-gather" not in line:
+            continue
+        for shape in re.findall(r"f32\[([\d,]+)\]", line):
+            elems = int(np.prod([int(d) for d in shape.split(",")]))
+            assert elems < limit, f"gathered logits-sized operand: {line}"
 
 
 def test_dalle_loss_fused_matches_unfused():

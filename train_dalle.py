@@ -98,7 +98,17 @@ def main():
     )
     params["padding_id"] = tokenizer.pad_token_id
 
-    dalle, vae, init_fn, loss_fn, eval_loss_fn, axes = make_dalle_task(params)
+    # Activation sharding constraints: the mesh + layout rules bind the
+    # model's logical-axis constrain() calls (qkv, attention out, residual
+    # stream) so large activations can't drift into GSPMD-chosen layouts at
+    # scale — the reference applied its layout rules to every tensor via
+    # mtf's solver (model_fns.py:81-94).
+    from dalle_mtf_tpu.parallel.mesh import make_constrain
+
+    mesh, constrain = make_constrain(params)
+    dalle, vae, init_fn, loss_fn, eval_loss_fn, axes = make_dalle_task(
+        params, constrain=constrain
+    )
     vae_params = load_vae_params(params, vae)
 
     trainer = Trainer(
@@ -106,6 +116,7 @@ def main():
         model_dir=params["model_path"],
         seq_len=dalle.cfg.total_seq_len,
         frozen_params=vae_params,
+        mesh=mesh,
         eval_loss_fn=eval_loss_fn,
     )
     train_iter = iter(dalle_input_fn(params, eval=False))
