@@ -47,6 +47,35 @@ def test_pallas_ring_matches_dense_and_xla(n, s):
     np.testing.assert_allclose(np.asarray(got), np.asarray(xla), atol=3e-5)
 
 
+@pytest.mark.parametrize("window,rate", [(None, 0.25), (96, 0.0), (96, 0.25)])
+def test_pallas_ring_dropout_window_matches_xla(window, rate):
+    """The Pallas kernels' in-kernel hash dropout + window must equal the
+    XLA ring fold (same hash, same global coordinates) — values and the
+    custom-VJP grads."""
+    n, s = 4, 512
+    mesh = _mesh(n)
+    ks = jax.random.split(jax.random.PRNGKey(3), 4)
+    q, k, v = (jax.random.normal(kk, (1, 2, s, 128), jnp.float32)
+               for kk in ks[:3])
+    g = jax.random.normal(ks[3], (1, 2, s, 128), jnp.float32)
+    seed = jnp.asarray(77, jnp.int32)
+    kw = dict(window=window, dropout_rate=rate, dropout_seed=seed)
+    pallas = _ring_fn(mesh, use_pallas=True, interpret=True, **kw)
+    xla = _ring_fn(mesh, use_pallas=False, **kw)
+    np.testing.assert_allclose(
+        np.asarray(jax.jit(pallas)(q, k, v)),
+        np.asarray(jax.jit(xla)(q, k, v)), atol=3e-5,
+    )
+    gp = jax.jit(jax.grad(
+        lambda *a: (pallas(*a) * g).sum(), argnums=(0, 1, 2)))(q, k, v)
+    gx = jax.jit(jax.grad(
+        lambda *a: (xla(*a) * g).sum(), argnums=(0, 1, 2)))(q, k, v)
+    for name, a, b in zip(("dq", "dk", "dv"), gp, gx):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, err_msg=name
+        )
+
+
 @pytest.mark.parametrize("n,s", [(2, 256), (4, 1280)])
 def test_pallas_ring_grads_match_dense(n, s):
     mesh = _mesh(n)
