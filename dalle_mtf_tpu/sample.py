@@ -24,39 +24,52 @@ from dalle_mtf_tpu.models.dalle import DALLE
 from dalle_mtf_tpu.models.vae import DiscreteVAE
 
 
-def _sample_token(rng, logits, temperature: float, top_k: int):
+def _sample_token(rng, logits, temperature, top_k: int):
+    """temperature: TRACED f32 scalar or [B] vector (per-row sampling
+    params never recompile; serving exploits this). temp <= 0 on a row
+    means greedy/argmax for that row. top_k stays static (the partial
+    reduce needs a static k) — serving buckets it into a small set of
+    compiled executables."""
     logits = logits.astype(jnp.float32)
-    if temperature == 0.0:
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    b = logits.shape[0]
+    temp = jnp.broadcast_to(
+        jnp.asarray(temperature, jnp.float32), (b,)
+    )[:, None]
+    safe = jnp.maximum(temp, 1e-6)
     if top_k:
         # approx_max_k uses the TPU's partial-reduce unit instead of a full
         # vocab sort — a full jax.lax.top_k sort was 27% of decode time at
         # dalle_coco scale (profiled). recall 0.99 is indistinguishable for
         # sampling.
         vals, idxs = jax.lax.approx_max_k(logits, top_k, recall_target=0.99)
-        choice = jax.random.categorical(rng, vals / temperature, axis=-1)
+        choice = jax.random.categorical(rng, vals / safe, axis=-1)
+        greedy_c = jnp.argmax(vals, axis=-1)
+        choice = jnp.where(temp[:, 0] <= 0.0, greedy_c, choice)
         return jnp.take_along_axis(idxs, choice[..., None], axis=-1)[..., 0].astype(
             jnp.int32
         )
-    return jax.random.categorical(rng, logits / temperature, axis=-1).astype(
-        jnp.int32
-    )
+    sampled = jax.random.categorical(rng, logits / safe, axis=-1)
+    greedy = jnp.argmax(logits, axis=-1)
+    return jnp.where(temp[:, 0] <= 0.0, greedy, sampled).astype(jnp.int32)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dalle", "temperature", "top_k"),
+    static_argnames=("dalle", "top_k"),
 )
 def generate_image_tokens(
     dalle: DALLE,
     params,
     text_tokens: jax.Array,
     rng: jax.Array,
-    temperature: float = 1.0,
+    temperature=1.0,
     top_k: int = 0,
 ) -> jax.Array:
     """text_tokens i32[B, text_seq_len] -> image token ids i32[B, image_seq_len]
-    (0-based within the VAE codebook, offset already removed)."""
+    (0-based within the VAE codebook, offset already removed).
+
+    ``temperature`` is a traced operand (float, f32 scalar, or per-row [B]
+    vector) — changing it never recompiles; only a new ``top_k`` does."""
     cfg = dalle.cfg
     b = text_tokens.shape[0]
     t = cfg.text_seq_len
@@ -89,10 +102,12 @@ def generate_images(
     vae_params,
     text_tokens: jax.Array,
     rng: jax.Array,
-    temperature: float = 1.0,
+    temperature=1.0,
     top_k: int = 0,
 ) -> jax.Array:
-    """Full text->pixels path. Returns f32[B, H, W, C] in [0, 1]."""
+    """Full text->pixels path. Returns f32[B, H, W, C] in [0, 1].
+    ``temperature`` may be a per-row [B] vector (traced; see
+    generate_image_tokens)."""
     img_tokens = generate_image_tokens(
         dalle, dalle_params, text_tokens, rng,
         temperature=temperature, top_k=top_k,

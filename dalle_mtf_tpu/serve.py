@@ -12,11 +12,15 @@ Design notes (TPU-first):
   mix. Short batches are padded with dummy rows and the extras discarded;
   decode cost is dominated by weight streaming, so padded rows are nearly
   free until the batch is full.
-- ``temperature``/``top_k`` are fixed at server start: ``top_k`` is a
-  static argument of the compiled sampler (lax.top_k needs a static k).
+- ``temperature`` is PER-REQUEST: it rides the compiled sampler as a
+  traced per-row [B] vector (never recompiles). ``top_k`` is also
+  per-request but static in the executable (lax.top_k needs a static k),
+  so it is rounded up into a small bucket set — one compiled executable
+  per bucket, batches grouped by bucket.
 - the worker thread owns the device: requests never contend for the chip,
   they just queue. Linger (default 5 ms) trades a little latency for
-  batching under load.
+  batching under load. A batch whose device call fails is retried once
+  (transient runtime hiccups); a second failure surfaces to every waiter.
 """
 
 from __future__ import annotations
@@ -51,14 +55,20 @@ class BatchingSampler:
         top_k: int = 64,
         linger_ms: float = 5.0,
         seed: int = 0,
+        top_k_buckets=(0, 16, 64, 256),
+        max_retries: int = 1,
     ):
+        from collections import deque  # noqa: PLC0415
+
         from dalle_mtf_tpu.sample import generate_images  # noqa: PLC0415
 
         self.dalle = dalle
         self.vae = vae
         self.batch_size = int(batch_size)
-        self.temperature = float(temperature)
-        self.top_k = int(top_k)
+        self.temperature = float(temperature)  # default for requests
+        self.top_k = int(top_k)                # default for requests
+        self.top_k_buckets = tuple(sorted(set(top_k_buckets) | {int(top_k)}))
+        self.max_retries = int(max_retries)
         self.linger_s = linger_ms / 1e3
         self._params = (dalle_params, vae_params)
         self._generate = generate_images
@@ -67,16 +77,31 @@ class BatchingSampler:
         self._q: queue.Queue = queue.Queue()
         self._closed = False
         self._submit_lock = threading.Lock()
-        self._holdback = None  # request that didn't fit the last batch
+        # requests that didn't fit (or didn't match the in-flight top_k
+        # bucket): FIFO, seeds the next batches ahead of newer arrivals
+        self._holdback = deque()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
     # ------------------------------------------------------------ client API
 
-    def submit(self, text_tokens, n: int = 1) -> Future:
+    def _bucket(self, top_k: int) -> int:
+        """Round a requested top_k UP into the compiled bucket set (each
+        bucket is its own fixed-shape executable; a slightly larger k only
+        widens the candidate pool)."""
+        k = int(top_k)
+        if k <= 0:
+            return 0
+        for b in self.top_k_buckets:
+            if b >= k > 0 and b > 0:
+                return b
+        return max(self.top_k_buckets)
+
+    def submit(self, text_tokens, n: int = 1, temperature=None,
+               top_k=None) -> Future:
         """Enqueue one request: ``n`` images of one tokenized text
-        (list[int] of length text_seq_len). Resolves to f32[n, H, W, C]
-        in [0, 1]."""
+        (list[int] of length text_seq_len), with optional per-request
+        sampling params. Resolves to f32[n, H, W, C] in [0, 1]."""
         if self._closed:
             raise RuntimeError("sampler is closed")
         n = int(n)
@@ -87,11 +112,15 @@ class BatchingSampler:
             raise ValueError(
                 f"text must be tokenized+padded to {self.dalle.cfg.text_seq_len}"
             )
+        temp = self.temperature if temperature is None else float(temperature)
+        if not 0.0 <= temp <= 100.0:
+            raise ValueError(f"temperature {temp} out of range [0, 100]")
+        kb = self._bucket(self.top_k if top_k is None else top_k)
         fut: Future = Future()
         with self._submit_lock:
             if self._closed:  # close() may have won the race
                 raise RuntimeError("sampler is closed")
-            self._q.put((ids, n, fut))
+            self._q.put((ids, n, temp, kb, fut))
         return fut
 
     def close(self):
@@ -104,17 +133,26 @@ class BatchingSampler:
 
     def _collect(self):
         """Block for one request, then linger briefly for batch-mates whose
-        rows still fit. A request that doesn't fit the in-flight batch is
-        held back to SEED the next batch (not requeued behind later
-        arrivals — preserves arrival order)."""
-        if self._holdback is not None:
-            item, self._holdback = self._holdback, None
+        rows still fit AND share the seed's top_k bucket. A request that
+        doesn't fit (or mismatches the bucket) is held back FIFO to seed
+        the following batches — never requeued behind later arrivals."""
+        if self._holdback:
+            item = self._holdback.popleft()
         else:
             item = self._q.get()
-        if item is None:
-            return None
+            if item is None:
+                return None
         batch = [item]
         rows = item[1]
+        bucket = item[3]
+        # older held-back requests first (strict FIFO: stop at the first
+        # that can't join, so arrival order is preserved)
+        while self._holdback:
+            nxt = self._holdback[0]
+            if nxt[3] != bucket or rows + nxt[1] > self.batch_size:
+                break
+            batch.append(self._holdback.popleft())
+            rows += nxt[1]
         deadline = time.monotonic() + self.linger_s
         while rows < self.batch_size:
             timeout = deadline - time.monotonic()
@@ -127,8 +165,11 @@ class BatchingSampler:
             if nxt is None:
                 self._q.put(None)  # re-deliver shutdown to the outer loop
                 break
+            if nxt[3] != bucket:
+                self._holdback.append(nxt)  # different executable: next batch
+                continue
             if rows + nxt[1] > self.batch_size:
-                self._holdback = nxt  # seeds the next batch, keeping order
+                self._holdback.append(nxt)  # seeds the next batch, in order
                 break
             batch.append(nxt)
             rows += nxt[1]
@@ -142,32 +183,47 @@ class BatchingSampler:
             if batch is None:
                 return
             rows = np.zeros((b, t_len), np.int32)
+            temps = np.full((b,), 1.0, np.float32)
+            bucket = batch[0][3]
             r = 0
-            for ids, n, _fut in batch:
+            for ids, n, temp, _kb, _fut in batch:
                 rows[r:r + n] = np.asarray(ids, np.int32)
+                temps[r:r + n] = temp
                 r += n
             self._batch_counter += 1
             rng = jax.random.fold_in(self._rng, self._batch_counter)
             t0 = time.perf_counter()
-            try:
-                imgs = self._generate(
-                    self.dalle, self._params[0], self.vae, self._params[1],
-                    jnp.asarray(rows), rng,
-                    temperature=self.temperature, top_k=self.top_k,
-                )
-                imgs = np.asarray(jax.device_get(imgs))
-            except Exception as e:  # surface failures to every waiter
-                for _ids, _n, fut in batch:
+            err = None
+            imgs = None
+            for attempt in range(1 + self.max_retries):
+                try:
+                    imgs = self._generate(
+                        self.dalle, self._params[0], self.vae,
+                        self._params[1], jnp.asarray(rows), rng,
+                        temperature=jnp.asarray(temps), top_k=bucket,
+                    )
+                    imgs = np.asarray(jax.device_get(imgs))
+                    err = None
+                    break
+                except Exception as e:  # retry once: transient runtime blips
+                    err = e
+                    if attempt < self.max_retries:
+                        logger.warning(
+                            "batch failed (attempt %d), retrying: %s",
+                            attempt + 1, e,
+                        )
+            if err is not None:  # surface failures to every waiter
+                for _ids, _n, _t, _kb, fut in batch:
                     if not fut.cancelled():
-                        fut.set_exception(e)
+                        fut.set_exception(err)
                 continue
             dt = time.perf_counter() - t0
             logger.info(
-                "batch of %d request(s) / %d row(s) in %.2fs",
-                len(batch), r, dt,
+                "batch of %d request(s) / %d row(s) top_k=%d in %.2fs",
+                len(batch), r, bucket, dt,
             )
             r = 0
-            for _ids, n, fut in batch:
+            for _ids, n, _t, _kb, fut in batch:
                 if not fut.cancelled():
                     fut.set_result(imgs[r:r + n])
                 r += n
@@ -189,7 +245,8 @@ def _png_b64(img: np.ndarray) -> str:
 def make_server(sampler: BatchingSampler, tokenizer, pad_len: int,
                 host: str = "0.0.0.0", port: int = 8000,
                 timeout_s: float = 120.0) -> ThreadingHTTPServer:
-    """HTTP front end. POST /generate {"text": str, "n": int} ->
+    """HTTP front end. POST /generate {"text": str, "n": int,
+    "temperature": float?, "top_k": int?} ->
     {"images": [<b64 png>...], "latency_s": float}; GET /healthz -> ok."""
     from dalle_mtf_tpu.data.tokenizer import pad_or_truncate  # noqa: PLC0415
 
@@ -223,8 +280,12 @@ def make_server(sampler: BatchingSampler, tokenizer, pad_len: int,
                 ids = pad_or_truncate(
                     tokenizer.encode(text), pad_len, tokenizer.pad_token_id
                 )
+                temp = req.get("temperature")
+                top_k = req.get("top_k")
                 t0 = time.perf_counter()
-                imgs = sampler.submit(ids, n).result(timeout=timeout_s)
+                imgs = sampler.submit(
+                    ids, n, temperature=temp, top_k=top_k
+                ).result(timeout=timeout_s)
                 self._reply(200, {
                     "images": [_png_b64(im) for im in imgs],
                     "latency_s": round(time.perf_counter() - t0, 3),

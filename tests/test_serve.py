@@ -105,6 +105,107 @@ class TestHttpServer:
             srv.shutdown()
 
 
+class TestPerRequestParams:
+    def test_mixed_temperature_concurrent_load_with_latency(self, sampler):
+        """Per-request temperatures ride one executable (traced [B] vector);
+        mixed-top_k requests split into bucketed batches. Under concurrent
+        load everything must resolve, and p50/p99 wall latency must stay
+        bounded (generous CPU bounds — the assertion is that batching keeps
+        latency amortized, not raw speed)."""
+        import random
+        import time as _time
+
+        compiles_before = sampler._batch_counter
+        lat = []
+        lock = threading.Lock()
+
+        def one(i):
+            rnd = random.Random(i)
+            t0 = _time.monotonic()
+            f = sampler.submit(
+                [i % 16, 0, 0, 0], n=1,
+                temperature=rnd.choice([0.0, 0.5, 1.0, 2.0]),
+                top_k=rnd.choice([0, 3, 4]),
+            )
+            imgs = f.result(timeout=300)
+            dt = _time.monotonic() - t0
+            assert imgs.shape == (1, 8, 8, 3)
+            assert np.isfinite(imgs).all()
+            with lock:
+                lat.append(dt)
+
+        threads = [threading.Thread(target=one, args=(i,)) for i in range(16)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert len(lat) == 16, f"only {len(lat)}/16 resolved"
+        lat.sort()
+        p50, p99 = lat[len(lat) // 2], lat[-1]
+        # CPU smoke bounds: each batch decodes in ~1s here; 16 rows at
+        # batch 4 across <= 2 top_k buckets must amortize well under 16x
+        assert p50 < 60.0, f"p50 {p50:.1f}s"
+        assert p99 < 120.0, f"p99 {p99:.1f}s"
+        assert sampler._batch_counter - compiles_before >= 4
+
+    def test_temperature_zero_is_greedy_deterministic(self, sampler):
+        a = sampler.submit([5, 1, 0, 0], n=1, temperature=0.0).result(timeout=120)
+        b = sampler.submit([5, 1, 0, 0], n=1, temperature=0.0).result(timeout=120)
+        np.testing.assert_array_equal(a, b)
+
+    def test_bad_temperature_rejected(self, sampler):
+        with pytest.raises(ValueError):
+            sampler.submit([1, 2, 3, 4], n=1, temperature=-1.0)
+
+
+class TestRetry:
+    def test_midbatch_failure_retried_once(self):
+        """A transient device-call failure must be retried before failing
+        the batch's waiters."""
+        dalle = DALLE(CFG)
+        vae = DiscreteVAE(VAEConfig.from_params(VAE_PARAMS))
+        s = BatchingSampler(
+            dalle, dalle.init(jax.random.PRNGKey(0)),
+            vae, vae.init(jax.random.PRNGKey(1)),
+            batch_size=2, top_k=4, linger_ms=5.0,
+        )
+        real = s._generate
+        calls = {"n": 0}
+
+        def flaky(*a, **kw):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("transient runtime blip")
+            return real(*a, **kw)
+
+        s._generate = flaky
+        try:
+            imgs = s.submit([1, 0, 0, 0], n=1).result(timeout=240)
+            assert imgs.shape == (1, 8, 8, 3)
+            assert calls["n"] == 2  # failed once, retried, succeeded
+        finally:
+            s.close()
+
+    def test_persistent_failure_surfaces(self):
+        dalle = DALLE(CFG)
+        vae = DiscreteVAE(VAEConfig.from_params(VAE_PARAMS))
+        s = BatchingSampler(
+            dalle, dalle.init(jax.random.PRNGKey(0)),
+            vae, vae.init(jax.random.PRNGKey(1)),
+            batch_size=2, top_k=4, linger_ms=5.0,
+        )
+
+        def broken(*a, **kw):
+            raise RuntimeError("hard failure")
+
+        s._generate = broken
+        try:
+            with pytest.raises(RuntimeError, match="hard failure"):
+                s.submit([1, 0, 0, 0], n=1).result(timeout=120)
+        finally:
+            s.close()
+
+
 class TestHoldbackOrdering:
     def test_oversize_request_seeds_next_batch(self):
         """A request that doesn't fit the in-flight batch must be served as
