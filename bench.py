@@ -111,6 +111,16 @@ def main():
 
     tokens_per_sec = batch * seq * BENCH_STEPS / dt
     tokens_per_sec_chip = tokens_per_sec / n_chips
+
+    # Absolute MFU so the headline stands without the mtf-baseline estimate:
+    # analytic train FLOPs/token = 6*N_matmul + 12*L*E*S (PaLM app. B
+    # convention — fwd+bwd on the weight matmuls plus full-S attention;
+    # recompute is NOT counted, so remat makes this a lower bound).
+    e, L, v, s = cfg.n_embd, cfg.n_layers, cfg.total_tokens, seq
+    n_matmul = L * 12 * e * e + e * v
+    flops_per_token = 6 * n_matmul + 12 * L * e * s
+    peak_tflops = float(os.environ.get("BENCH_PEAK_TFLOPS", 197.0))  # v5e bf16
+    achieved_tflops = tokens_per_sec_chip * flops_per_token / 1e12
     print(
         json.dumps(
             {
@@ -120,6 +130,8 @@ def main():
                 "vs_baseline": round(
                     tokens_per_sec_chip / BASELINE_TOKENS_PER_SEC_CHIP, 3
                 ),
+                "tflops_per_sec_chip": round(achieved_tflops, 1),
+                "mfu_pct": round(100.0 * achieved_tflops / peak_tflops, 1),
             }
         )
     )

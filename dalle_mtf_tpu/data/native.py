@@ -100,6 +100,26 @@ def get_lib():
         ]
         lib.dmt_il_close.restype = None
         lib.dmt_il_close.argtypes = [ctypes.c_void_p]
+        lib.dmt_pool_open.restype = ctypes.c_void_p
+        lib.dmt_pool_open.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.dmt_pool_submit.restype = None
+        lib.dmt_pool_submit.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.c_uint64,
+            ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int,
+        ]
+        lib.dmt_pool_wait.restype = ctypes.c_int
+        lib.dmt_pool_wait.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.dmt_pool_close.restype = None
+        lib.dmt_pool_close.argtypes = [ctypes.c_void_p]
         _LIB = lib
         return lib
 
@@ -163,6 +183,90 @@ def decode_img(data: bytes, size: int, channels: int = 3) -> np.ndarray | None:
     if rc != 0:
         return None
     return out
+
+
+def decode_pool_samples(records, size: int, channels: int, text_len: int,
+                        padding_id: int, workers: int | None = None,
+                        window: int | None = None):
+    """Parallel parse+decode of TFRecord payloads in a C++ thread pool.
+
+    ``records``: iterator of raw Example bytes. Yields
+    {"image": f32[size,size,channels]} (+ "caption": i32[text_len] when
+    text_len > 0) in STRICT record order — the shuffle window downstream
+    relies on determinism. The C++ side does the proto walk AND the fused
+    jpeg decode (tf.data's parallel C++ map, input_fns.py:24-29, rebuilt);
+    records the native path can't handle (non-jpeg payloads, schema drift)
+    fall back to the Python parser per record. Returns None when the native
+    library is unavailable (caller uses the Python thread pool)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    import os as _os  # noqa: PLC0415
+
+    if workers is None:
+        workers = max(1, min(16, _os.cpu_count() or 1))
+    if window is None:
+        window = max(4, workers * 2)
+
+    def gen():
+        from collections import deque  # noqa: PLC0415
+
+        handle = lib.dmt_pool_open(int(workers), int(size), int(channels))
+        if not handle:  # pragma: no cover - allocation failure
+            raise MemoryError("dmt_pool_open failed")
+        inflight: deque = deque()  # (seq, rec_bytes, img, cap)
+        seq = 0
+
+        def submit(rec: bytes):
+            nonlocal seq
+            img = np.empty((size, size, channels), np.float32)
+            cap = np.full((max(text_len, 1),), padding_id, np.int32)
+            lib.dmt_pool_submit(
+                handle, rec, len(rec), seq,
+                img.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                cap.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                int(text_len),
+            )
+            inflight.append((seq, rec, img, cap))
+            seq += 1
+
+        def collect():
+            s, rec, img, cap = inflight.popleft()
+            n = ctypes.c_int(0)
+            rc = lib.dmt_pool_wait(handle, s, ctypes.byref(n))
+            if rc != 0:  # per-record Python fallback (e.g. png payload)
+                from dalle_mtf_tpu.data.pipeline import decode_img  # noqa: PLC0415
+                from dalle_mtf_tpu.data.tfrecord import parse_example  # noqa: PLC0415
+
+                ex = parse_example(rec)
+                sample = {"image": decode_img(ex["image"][0], size, channels)}
+                if text_len > 0:
+                    caption = list(ex.get("caption", []))
+                    caption = (caption + [padding_id] * text_len)[:text_len]
+                    sample["caption"] = np.asarray(caption, np.int32)
+                return sample
+            sample = {"image": img}
+            if text_len > 0:
+                sample["caption"] = cap
+            return sample
+
+        try:
+            for rec in records:
+                submit(rec)
+                if len(inflight) >= window:
+                    yield collect()
+            while inflight:
+                yield collect()
+        finally:
+            # drain outstanding jobs before close frees the pool (their
+            # output buffers live in `inflight`)
+            while inflight:
+                s, _rec, _img, _cap = inflight.popleft()
+                n = ctypes.c_int(0)
+                lib.dmt_pool_wait(handle, s, ctypes.byref(n))
+            lib.dmt_pool_close(handle)
+
+    return gen()
 
 
 def read_interleaved(paths, cycle: int = 4, verify_crc: bool = False,

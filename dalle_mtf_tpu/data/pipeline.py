@@ -88,9 +88,14 @@ class _Pipeline:
         prefetch: int = 4,
         repeat: bool = True,
         cycle_length: int = 4,
+        native_decode: Mapping[str, Any] | None = None,
     ):
         if not files:
             raise FileNotFoundError("input pipeline got an empty file list")
+        # {"size", "channels", "text_len", "padding_id"}: enables the C++
+        # parse+decode pool (native.decode_pool_samples) for the standard
+        # tfrecord schema; None keeps the generic parse_fn thread pool
+        self.native_decode = dict(native_decode) if native_decode else None
         self.files = list(files)
         self.record_iter_fn = record_iter_fn
         self.parse_fn = parse_fn
@@ -161,7 +166,21 @@ class _Pipeline:
                 return
 
     def _samples(self) -> Iterator[dict]:
-        """Parallel parse with bounded in-flight window (keeps order cheap)."""
+        """Parallel parse with bounded in-flight window (keeps order cheap).
+
+        Standard tfrecord samples take the C++ parse+decode pool (proto walk
+        + fused jpeg decode off the GIL entirely); otherwise a Python thread
+        pool around parse_fn (the decode C call still drops the GIL)."""
+        if self.native_decode is not None:
+            from dalle_mtf_tpu.data import native  # noqa: PLC0415
+
+            g = native.decode_pool_samples(
+                self._records(), workers=self.num_workers,
+                **self.native_decode,
+            )
+            if g is not None:
+                yield from g
+                return
         with ThreadPoolExecutor(self.num_workers) as pool:
             in_flight: queue.Queue = queue.Queue()
             records = self._records()
@@ -288,6 +307,10 @@ def vae_input_fn(
         return _Pipeline(
             files, read_tfrecord_file, parse, batch,
             shuffle=not eval, repeat=repeat,
+            native_decode={
+                "size": size, "channels": channels,
+                "text_len": 0, "padding_id": 0,
+            },
         )
 
     def read_file(path_: str):
@@ -331,5 +354,9 @@ def dalle_input_fn(
         }
 
     return _Pipeline(
-        files, read_tfrecord_file, parse, batch, shuffle=not eval, repeat=repeat
+        files, read_tfrecord_file, parse, batch, shuffle=not eval, repeat=repeat,
+        native_decode={
+            "size": size, "channels": channels,
+            "text_len": text_seq_len, "padding_id": padding_id,
+        },
     )
