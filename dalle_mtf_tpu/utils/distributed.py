@@ -30,7 +30,17 @@ def maybe_initialize_distributed():
     if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
         "COORDINATOR_ADDRESS"
     ):
-        jax.distributed.initialize()
+        # explicit world spec (the elastic supervisor sets these per
+        # attempt, utils/elastic.py) beats autodetection
+        kwargs = {}
+        if os.environ.get("JAX_NUM_PROCESSES"):
+            kwargs = dict(
+                coordinator_address=os.environ.get("JAX_COORDINATOR_ADDRESS")
+                or os.environ.get("COORDINATOR_ADDRESS"),
+                num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                process_id=int(os.environ.get("JAX_PROCESS_ID") or 0),
+            )
+        jax.distributed.initialize(**kwargs)
         logger.info(
             "jax.distributed initialized: process %d/%d, %d local / %d global devices",
             jax.process_index(), jax.process_count(),

@@ -1,0 +1,181 @@
+"""Elastic training supervisor (process-level restart on world resize).
+
+Why process-level: the JAX distributed runtime deliberately LOG(FATAL)s
+every surviving process when a peer stops heartbeating ("Terminating
+process because the JAX distributed service detected fatal errors",
+coordination-service client) — a worker cannot re-initialize in place.
+Elasticity therefore lives one level up, like torchelastic's per-node
+agent: this supervisor launches the training process, and when it dies —
+its own crash, a preemption, or the runtime's reaction to a peer loss —
+re-evaluates world membership and relaunches with the new size/rank.
+Training resumes from the latest checkpoint (trainer crash-resume), and
+restoring across a RESIZED mesh is exact (tests/test_elastic.py), so the
+surviving hosts continue the same trajectory.
+
+This goes beyond the reference's crash-and-resume outer loop
+(train_dalle.py:80-98), which could only rejoin the SAME world.
+
+Roster: a directory of ``<host>.alive`` marker files (one per live host,
+refreshed by each supervisor; a ``<host>.gone`` marker removes a host
+permanently). On preemptible fleets an external manager — or the hosts
+themselves via a shared filesystem/GCS bucket — maintains the markers; the
+sorted surviving set determines (num_processes, process_id) and host 0
+serves the coordinator.
+
+Usage:
+    python -m dalle_mtf_tpu.utils.elastic --roster-dir gs-or-local-dir \\
+        --host-id $(hostname) --coordinator-host <host0-dns> \\
+        --port 9876 -- python train_dalle.py --model dalle_coco
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import subprocess
+import sys
+import time
+from typing import Callable, Sequence
+
+logger = logging.getLogger(__name__)
+
+
+class FileRoster:
+    """Live-host roster over marker files in a shared directory."""
+
+    def __init__(self, roster_dir: str, host_id: str):
+        self.dir = roster_dir
+        self.host_id = host_id
+        os.makedirs(roster_dir, exist_ok=True)
+
+    def join(self):
+        with open(os.path.join(self.dir, f"{self.host_id}.alive"), "w") as f:
+            f.write(str(time.time()))
+
+    def leave(self):
+        try:
+            os.unlink(os.path.join(self.dir, f"{self.host_id}.alive"))
+        except FileNotFoundError:
+            pass
+
+    def hosts(self) -> list[str]:
+        out = []
+        for name in os.listdir(self.dir):
+            if name.endswith(".alive"):
+                h = name[: -len(".alive")]
+                if not os.path.exists(os.path.join(self.dir, f"{h}.gone")):
+                    out.append(h)
+        return sorted(out)
+
+
+class ElasticSupervisor:
+    """Launch-and-relaunch one host's training process as the world resizes.
+
+    cmd: the training command (argv list). roster: () -> sorted live host
+    ids. coordinator: (hosts, attempt) -> "host:port" for the world's
+    process 0 (attempt lets restarts move ports past TIME_WAIT).
+    """
+
+    def __init__(
+        self,
+        cmd: Sequence[str],
+        host_id: str,
+        roster: Callable[[], list[str]],
+        coordinator: Callable[[list[str], int], str],
+        max_restarts: int = 16,
+        backoff_s: float = 2.0,
+        env: dict | None = None,
+    ):
+        self.cmd = list(cmd)
+        self.host_id = host_id
+        self.roster = roster
+        self.coordinator = coordinator
+        self.max_restarts = max_restarts
+        self.backoff_s = backoff_s
+        self.env = dict(env) if env else dict(os.environ)
+
+    def _world_env(self, attempt: int) -> dict | None:
+        hosts = self.roster()
+        if self.host_id not in hosts:
+            return None  # we were removed from the world
+        env = dict(self.env)
+        n = len(hosts)
+        env["JAX_NUM_PROCESSES"] = str(n)
+        env["JAX_PROCESS_ID"] = str(hosts.index(self.host_id))
+        if n > 1:
+            env["JAX_COORDINATOR_ADDRESS"] = self.coordinator(hosts, attempt)
+        else:
+            # single-host world: run without a distributed runtime at all
+            env.pop("JAX_COORDINATOR_ADDRESS", None)
+        return env
+
+    def run(self) -> int:
+        """Supervise until the training command exits 0, this host is
+        removed from the roster, or restarts are exhausted. Returns the
+        final child exit code (0 on clean completion/removal)."""
+        rc = 0
+        for attempt in range(self.max_restarts + 1):
+            env = self._world_env(attempt)
+            if env is None:
+                logger.info("%s: removed from roster; supervisor exiting",
+                            self.host_id)
+                return 0
+            logger.info(
+                "%s: launching attempt %d as process %s/%s",
+                self.host_id, attempt, env["JAX_PROCESS_ID"],
+                env["JAX_NUM_PROCESSES"],
+            )
+            proc = subprocess.run(self.cmd, env=env)
+            rc = proc.returncode
+            if rc == 0:
+                return 0
+            logger.warning(
+                "%s: training process died rc=%d (attempt %d) — "
+                "re-evaluating world and restarting",
+                self.host_id, rc, attempt,
+            )
+            time.sleep(self.backoff_s)
+        logger.error("%s: restarts exhausted (last rc=%d)", self.host_id, rc)
+        return rc
+
+
+def main(argv: list[str] | None = None) -> int:
+    import argparse
+
+    argv = sys.argv[1:] if argv is None else argv
+    if "--" in argv:
+        split = argv.index("--")
+        argv, cmd = argv[:split], argv[split + 1:]
+    else:
+        cmd = []
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--roster-dir", required=True)
+    ap.add_argument("--host-id", default=os.uname().nodename)
+    ap.add_argument("--coordinator-host", default=None,
+                    help="DNS/IP of rank-0; default: the host id itself "
+                         "(single-machine testing)")
+    ap.add_argument("--port", type=int, default=9876)
+    ap.add_argument("--max-restarts", type=int, default=16)
+    args = ap.parse_args(argv)
+    if not cmd:
+        ap.error("training command required after --")
+    logging.basicConfig(level=logging.INFO)
+
+    roster = FileRoster(args.roster_dir, args.host_id)
+    roster.join()
+
+    def coordinator(hosts: list[str], attempt: int) -> str:
+        host = args.coordinator_host or hosts[0]
+        return f"{host}:{args.port + attempt}"
+
+    try:
+        return ElasticSupervisor(
+            cmd, args.host_id, roster.hosts, coordinator,
+            max_restarts=args.max_restarts,
+        ).run()
+    finally:
+        roster.leave()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,107 @@
+"""Elastic supervisor: a worker kill mid-run resizes the world and the
+survivor-led restart resumes the golden trajectory (VERDICT r2 item 8).
+
+Two per-host supervisors (threads) each launch an elastic_worker.py child
+as a 2-process world (4 fake CPU devices each). The injected preemption
+kills process 1 right after the step-4 checkpoint WITHOUT any shutdown
+handshake; the JAX runtime then fatally terminates the survivor (by
+design — see utils/elastic.py), whose supervisor re-reads the roster
+(host b marked gone), relaunches it as a 1-process world on a RESIZED
+data:4 mesh, and the run resumes from the checkpoint to completion. Final
+params must match a clean single-process run of the same 6 deterministic
+steps.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import threading
+
+import numpy as np
+import pytest
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+WORKER = os.path.join(os.path.dirname(__file__), "elastic_worker.py")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(WORKER)))
+
+
+def _base_env(model_dir, roster_dir, host):
+    env = dict(os.environ)
+    env.pop("JAX_COORDINATOR_ADDRESS", None)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["ELASTIC_MODEL_DIR"] = str(model_dir)
+    env["ELASTIC_ROSTER_DIR"] = str(roster_dir)
+    env["ELASTIC_HOST_ID"] = host
+    env["ELASTIC_LOCAL_DEVICES"] = "4"
+    return env
+
+
+def _golden(tmp_path):
+    """Clean single-process run of the same 6 steps."""
+    env = _base_env(tmp_path / "golden", tmp_path / "roster_golden", "g")
+    env["JAX_NUM_PROCESSES"] = "1"
+    env["JAX_PROCESS_ID"] = "0"
+    proc = subprocess.run(
+        [sys.executable, WORKER], env=env, cwd=REPO,
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    line = [ln for ln in proc.stdout.splitlines() if ln.startswith("RESULT ")][-1]
+    return json.loads(line[len("RESULT "):])
+
+
+def test_worker_kill_survivor_resumes_golden_trajectory(tmp_path):
+    from dalle_mtf_tpu.utils.elastic import ElasticSupervisor, FileRoster
+
+    model_dir = tmp_path / "model"
+    roster_dir = tmp_path / "roster"
+    port = _free_port()
+
+    rosters = {h: FileRoster(str(roster_dir), h) for h in ("a", "b")}
+    for r in rosters.values():
+        r.join()
+
+    def coordinator(hosts, attempt):
+        return f"localhost:{port + attempt}"
+
+    rcs = {}
+
+    def supervise(host):
+        env = _base_env(model_dir, roster_dir, host)
+        if host == "b":
+            env["ELASTIC_KILL"] = "1:4"  # pid 1 dies after step-4 ckpt
+        sup = ElasticSupervisor(
+            [sys.executable, WORKER], host, rosters[host].hosts, coordinator,
+            max_restarts=3, backoff_s=1.0, env=env,
+        )
+        rcs[host] = sup.run()
+
+    threads = [
+        threading.Thread(target=supervise, args=(h,)) for h in ("a", "b")
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=900)
+        assert not t.is_alive(), "supervisor did not finish (hung world?)"
+
+    # host b was preempted and removed from the roster -> its supervisor
+    # exits cleanly; host a's survivor-led restart completed the run
+    assert rcs["b"] == 0, rcs
+    assert rcs["a"] == 0, rcs
+
+    result_file = model_dir / "result.json"
+    if not result_file.exists():
+        pytest.skip("distributed backend unavailable (no result written)")
+    got = json.loads(result_file.read_text())
+    ref = _golden(tmp_path)
+    np.testing.assert_allclose(got["loss"], ref["loss"], rtol=5e-5)
+    np.testing.assert_allclose(got["param_sum"], ref["param_sum"], rtol=5e-5)
