@@ -319,11 +319,19 @@ class DALLE:
         return self.cfg.attention_type in ("ring", "local_ring")
 
     def _w(self, p, name):
-        """Weight getter: dequantizes int8 serving weights transparently
-        (quantize.py adds ``<name>_scale`` leaves; XLA fuses the multiply
-        into the reading matmul, so the bf16 copy never hits HBM)."""
+        """Weight getter: dequantizes int8/int4 serving weights
+        transparently (quantize.py adds ``<name>_scale`` [+ ``_int4``]
+        leaves; XLA fuses the shift/mask/multiply into the reading matmul,
+        so the wide copy never hits HBM)."""
         dtype = self.cfg.policy.compute_dtype
-        w = p[name].astype(dtype)
+        w = p[name]
+        if p.get(name + "_int4") is not None:
+            from dalle_mtf_tpu.quantize import _PACK_AXIS, unpack_int4  # noqa: PLC0415
+
+            # _PACK_AXIS indexes the STACKED [L, ...] tree; inside the layer
+            # scan the leading L is stripped
+            w = unpack_int4(w, _PACK_AXIS[name] - 1)
+        w = w.astype(dtype)
         scale = p.get(name + "_scale")
         if scale is not None:
             w = w * scale.astype(dtype)

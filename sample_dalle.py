@@ -38,6 +38,10 @@ def parse_args():
     parser.add_argument("--top_k", type=int, default=0)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument(
+        "--quantize", choices=("none", "int8", "int4"), default=None,
+        help="decode-weight quantization (int4 = 4x less weight stream)",
+    )
+    parser.add_argument(
         "--int8", action="store_true",
         help="quantize decode weights to int8 (~1.5x faster decode, "
              "per-column scales)",
@@ -85,15 +89,20 @@ def main():
     mesh = build_mesh(params.get("mesh_shape"))
     rules = parse_layout(params.get("layout"))
     dalle_params = shard_params(dalle_params, mesh, rules, axes)
-    if args.int8:
+    quant = args.quantize or ("int8" if args.int8 else "none")
+    if quant != "none":
         # Quantize AFTER sharding: the elementwise quantize preserves each
         # leaf's NamedSharding (scales keepdims along the contracted axis),
         # so TP-scale configs stay sharded; quantizing first would both skip
         # sharding and misalign the <name>_scale leaves against the
         # logical-axes tree that shard_params zips over.
-        from dalle_mtf_tpu.quantize import quantize_layers_int8
+        from dalle_mtf_tpu.quantize import (
+            quantize_layers_int4,
+            quantize_layers_int8,
+        )
 
-        dalle_params = quantize_layers_int8(dalle_params)
+        fn = quantize_layers_int4 if quant == "int4" else quantize_layers_int8
+        dalle_params = fn(dalle_params)
 
     t0 = time.time()
     imgs = generate_images(

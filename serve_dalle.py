@@ -43,6 +43,10 @@ def parse_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--int8", action="store_true",
                    help="int8 decode weights (~1.5x faster decode)")
+    p.add_argument("--quantize", choices=("none", "int8", "int4"),
+                   default=None,
+                   help="decode-weight quantization (int4 packs two values "
+                        "per byte: 4x less weight stream than bf16)")
     return p.parse_args()
 
 
@@ -63,10 +67,15 @@ def main():
     mesh = build_mesh(params.get("mesh_shape"))
     rules = parse_layout(params.get("layout"))
     dalle_params = shard_params(dalle_params, mesh, rules, axes)
-    if args.int8:
-        from dalle_mtf_tpu.quantize import quantize_layers_int8
+    quant = args.quantize or ("int8" if args.int8 else "none")
+    if quant != "none":
+        from dalle_mtf_tpu.quantize import (
+            quantize_layers_int4,
+            quantize_layers_int8,
+        )
 
-        dalle_params = quantize_layers_int8(dalle_params)
+        fn = quantize_layers_int4 if quant == "int4" else quantize_layers_int8
+        dalle_params = fn(dalle_params)
 
     batch = args.batch_size or params["predict_batch_size"] or 4
     sampler = BatchingSampler(

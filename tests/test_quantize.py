@@ -3,7 +3,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from dalle_mtf_tpu.models.dalle import DALLE, DalleConfig
-from dalle_mtf_tpu.quantize import quantize_layers_int8
+from dalle_mtf_tpu.quantize import (
+    _PACK_AXIS,
+    pack_int4,
+    quantize_layers_int4,
+    quantize_layers_int8,
+    unpack_int4,
+)
 from dalle_mtf_tpu.sample import generate_image_tokens
 
 CFG = DalleConfig(
@@ -37,6 +43,53 @@ def test_quantized_forward_close_and_decode_runs():
     spread = float(np.asarray(logits).std())
     err = float(np.abs(np.asarray(logits) - np.asarray(qlogits)).max())
     assert err < 0.15 * spread + 0.05, (err, spread)
+
+    text = jax.random.randint(jax.random.PRNGKey(2), (1, 8), 0, 40)
+    toks = generate_image_tokens(model, qp, text, jax.random.PRNGKey(3), top_k=8)
+    assert toks.shape == (1, 16)
+    assert int(toks.min()) >= 0 and int(toks.max()) < CFG.image_vocab_size
+
+
+def test_int4_pack_roundtrip_exact():
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randint(-7, 8, (2, 6, 4)), jnp.int8)
+    for ax in (1, 2):
+        packed = pack_int4(q, ax)
+        assert packed.shape[ax] == q.shape[ax] // 2
+        back = unpack_int4(packed, ax)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(q))
+
+
+def test_int4_weights_close_and_half_the_bytes():
+    model = DALLE(CFG)
+    params = model.init(jax.random.PRNGKey(0))
+    qp = quantize_layers_int4(params)
+    assert qp["layers"]["wq"].dtype == jnp.int8
+    # packed: half the elements of the int8 form along the contraction axis
+    assert qp["layers"]["wq"].shape[1] == params["layers"]["wq"].shape[1] // 2
+    w = np.asarray(params["layers"]["w_mlp1"])
+    deq = np.asarray(
+        unpack_int4(qp["layers"]["w_mlp1"], _PACK_AXIS["w_mlp1"])
+    ) * np.asarray(qp["layers"]["w_mlp1_scale"])
+    # per-column int4: max error bounded by scale/2 = max|w|/14 per column
+    col_max = np.abs(w).max(axis=1, keepdims=True)
+    assert (np.abs(w - deq) <= col_max / 14 + 1e-8).all()
+
+
+def test_int4_forward_close_and_decode_runs():
+    model = DALLE(CFG)
+    params = model.init(jax.random.PRNGKey(0))
+    qp = quantize_layers_int4(params)
+    tokens = jax.random.randint(
+        jax.random.PRNGKey(1), (2, CFG.total_seq_len), 0, CFG.total_tokens
+    )
+    logits = model.forward(params, tokens, train=False)
+    qlogits = model.forward(qp, tokens, train=False)
+    # int4 noise is ~18x int8's; still mild relative to logit spread at
+    # these widths
+    spread = float(np.asarray(logits).std())
+    err = float(np.abs(np.asarray(logits) - np.asarray(qlogits)).max())
+    assert err < 0.8 * spread + 0.2, (err, spread)
 
     text = jax.random.randint(jax.random.PRNGKey(2), (1, 8), 0, 40)
     toks = generate_image_tokens(model, qp, text, jax.random.PRNGKey(3), top_k=8)
