@@ -33,6 +33,8 @@ import os  # noqa: E402
 
 PER_CHIP_BATCH = int(os.environ.get("BENCH_BATCH", 16))
 REMAT_POLICY = os.environ.get("BENCH_REMAT_POLICY", "dots_saveable")
+FUSED_XENT = bool(int(os.environ.get("BENCH_FUSED_XENT", "0")))
+XENT_CHUNKS = int(os.environ.get("BENCH_XENT_CHUNKS", "8"))
 WARMUP_STEPS = 3
 BENCH_STEPS = 10
 
@@ -55,6 +57,7 @@ def main():
         bf_16=True,
         recompute_grad=True,  # dalle_coco sets it; needed for batch 16/chip
         remat_policy=REMAT_POLICY,
+        xent_chunks=XENT_CHUNKS,
     )
     model = DALLE(cfg)
     batch = PER_CHIP_BATCH * n_chips
@@ -83,7 +86,8 @@ def main():
     @jax.jit
     def train_step(params, opt_state, tokens, rng):
         def loss_fn(p):
-            loss, _ = model.loss(p, tokens, rng, train=True)
+            loss, _ = model.loss(p, tokens, rng, train=True,
+                                 fused_xent=FUSED_XENT)
             return loss
 
         loss, grads = jax.value_and_grad(loss_fn)(params)

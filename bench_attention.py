@@ -16,6 +16,9 @@ floor. N_CHAIN=100 amortizes it to ~0.13 ms; numbers below are true kernel
 costs to ~0.05 ms.
 
 Usage: python bench_attention.py [--impl pallas|xla|both] [--fwd-only]
+                                 [--b B] [--h H] [--s S] [--d D]
+(--s 2560 --b 4 measures the dalle_12B shape; --s 4352 the loop-kernel
+regime dalle_4k runs in)
 """
 
 from __future__ import annotations
@@ -59,7 +62,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--impl", default="pallas", choices=["pallas", "xla", "both"])
     ap.add_argument("--fwd-only", action="store_true")
+    ap.add_argument("--b", type=int, default=None)
+    ap.add_argument("--h", type=int, default=None)
+    ap.add_argument("--s", type=int, default=None)
+    ap.add_argument("--d", type=int, default=None)
     args = ap.parse_args()
+    global B, H, S, D
+    B = args.b or B
+    H = args.h or H
+    S = args.s or S
+    D = args.d or D
+    print(f"shape B={B} H={H} S={S} D={D} bf16, N_CHAIN={N_CHAIN}")
 
     from dalle_mtf_tpu.ops import attention as A
 

@@ -3,11 +3,14 @@
 One text prompt -> 1024 image tokens through the compiled KV-cache scan
 (sample.py) on the flagship model shape. Prints one JSON line like bench.py.
 Target (BASELINE.md): < 2 s per image.
+
+BENCH_DECODE_QUANT selects the weight format: int8 (default), int4, none.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -15,6 +18,7 @@ import jax.numpy as jnp
 
 TRIALS = 5
 TARGET_S = 2.0
+QUANT = os.environ.get("BENCH_DECODE_QUANT", "int8")
 
 
 def main():
@@ -33,11 +37,17 @@ def main():
     )
     model = DALLE(cfg)
     params = jax.jit(model.init)(jax.random.PRNGKey(0))
-    # serving configuration: int8 decode weights (quantize.py) — decoding is
-    # weight-bandwidth bound and this is ~20% faster than bf16 (BENCH.md)
-    from dalle_mtf_tpu.quantize import quantize_layers_int8
+    # serving configuration: quantized decode weights (quantize.py) —
+    # decoding is weight-bandwidth bound (int8 ~20% faster than bf16,
+    # BENCH.md); int4 halves the stream again
+    if QUANT == "int8":
+        from dalle_mtf_tpu.quantize import quantize_layers_int8
 
-    params = quantize_layers_int8(params)
+        params = quantize_layers_int8(params)
+    elif QUANT == "int4":
+        from dalle_mtf_tpu.quantize import quantize_layers_int4
+
+        params = quantize_layers_int4(params)
     text = jax.random.randint(
         jax.random.PRNGKey(1), (1, cfg.text_seq_len), 0, cfg.text_vocab_size,
         jnp.int32,
@@ -60,7 +70,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "dalle_coco_image_decode_p50_latency",
+                "metric": f"dalle_coco_image_decode_p50_latency_{QUANT}",
                 "value": round(p50, 3),
                 "unit": "seconds/1024-token-image",
                 "vs_baseline": round(TARGET_S / p50, 3),  # >1 = faster than target

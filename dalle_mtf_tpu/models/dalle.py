@@ -111,6 +111,10 @@ class DalleConfig:
     # slower (74.5k). save_attn* remain config options for memory-bound
     # (12B-class) models.
     remat_policy: str = "dots_saveable"
+    # fused-xent row chunks: fewer chunks = fewer passes over the [E, V]
+    # dw accumulator in the backward scan (its HBM traffic dominates the
+    # fused path's cost) at the price of a larger [chunk, V] logits tile
+    xent_chunks: int = 8
 
     @classmethod
     def from_params(
@@ -145,6 +149,7 @@ class DalleConfig:
             eos_token_id=params.get("eos_token_id"),
             activation=params.get("activation") or "relu",
             remat_policy=params.get("remat_policy") or "dots_saveable",
+            xent_chunks=int(params.get("xent_chunks") or 8),
         )
 
     @property
@@ -615,7 +620,9 @@ class DALLE:
             x = self.hidden(params, tokens, rng, train, constrain)
             b_, s_, e_ = x.shape
             n = b_ * s_
-            num_chunks = next(c for c in (8, 4, 2, 1) if n % c == 0)
+            num_chunks = next(
+                c for c in (cfg.xent_chunks, 8, 4, 2, 1) if n % c == 0
+            )
             loss_flat = chunked_softmax_xent_auto(
                 x.reshape(n, e_),
                 params["w_out"].astype(dtype),
