@@ -42,12 +42,30 @@ def make_vae_task(params: Mapping[str, Any]):
         return loss, {}
 
     def eval_loss(p, _frozen, batch, rng, step):
+        """Eval with quality metrics beyond MSE (the reference only had a
+        loss metric_fn, model_fns_tf.py:80-96): PSNR of the reconstruction
+        (on the [-1, 1] scale, peak = 2) and codebook perplexity —
+        exp(entropy) of the hard-token usage distribution, the standard
+        VQ-health signal (collapse shows up as perplexity << num_tokens)."""
         temp = temperature_schedule(params, step)
-        loss, _recon = vae.forward(
+        loss, recon = vae.forward(
             p, batch["image"], rng, temperature=temp,
             hard_gumbel=eval_hard, train=False,
         )
-        return loss, {}
+        mse = jnp.mean(
+            jnp.square(batch["image"].astype(jnp.float32) - recon)
+        )
+        psnr = 10.0 * jnp.log10(4.0 / jnp.maximum(mse, 1e-10))
+        tokens = vae.encode_tokens(p, batch["image"])
+        counts = jnp.bincount(
+            tokens.reshape(-1), length=cfg.num_tokens
+        ).astype(jnp.float32)
+        probs = counts / jnp.maximum(counts.sum(), 1.0)
+        entropy = -jnp.sum(jnp.where(probs > 0, probs * jnp.log(probs), 0.0))
+        return loss, {
+            "psnr": psnr,
+            "codebook_perplexity": jnp.exp(entropy),
+        }
 
     return vae, vae.init, train_loss, eval_loss, vae.logical_axes()
 

@@ -126,6 +126,27 @@ class TestTrainerVAE:
         assert int(jax.device_get(state2["step"])) == 8
         trainer2.close()
 
+    def test_eval_metrics_psnr_and_codebook_perplexity(self, tmp_path):
+        """VAE eval exposes reconstruction PSNR and codebook perplexity
+        (VQ-health observability beyond the reference's loss-only
+        metric_fn, model_fns_tf.py:80-96)."""
+        _vae, init_fn, loss_fn, eval_loss_fn, axes = make_vae_task(VAE_PARAMS)
+        trainer = Trainer(
+            VAE_PARAMS, init_fn, loss_fn, axes,
+            model_dir=str(tmp_path / "m2"), seq_len=16,
+            eval_loss_fn=eval_loss_fn,
+        )
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        metrics = trainer.eval_step(
+            state, next(_vae_batches()), jax.random.PRNGKey(1)
+        )
+        psnr = float(jax.device_get(metrics["psnr"]))
+        perp = float(jax.device_get(metrics["codebook_perplexity"]))
+        num_tokens = VAE_PARAMS["num_tokens"]
+        assert 0.0 < psnr < 60.0, psnr  # untrained: low but finite
+        assert 1.0 <= perp <= num_tokens + 1e-3, (perp, num_tokens)
+        trainer.close()
+
     def test_batch_is_sharded_over_data_axis(self, tmp_path):
         _vae, init_fn, loss_fn, _e, axes = make_vae_task(VAE_PARAMS)
         trainer = Trainer(
