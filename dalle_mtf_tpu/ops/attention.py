@@ -244,23 +244,27 @@ def _wr_fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref=None):
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale  # [block, S]
-    s = jnp.where(mask_ref[...] != 0, NEG_INF, s)
+    # additive arithmetic mask (int8 0/1 * NEG_INF), NOT a select on an i1
+    # vector: Mosaic fails to relayout [block, S] i1 at wr shapes (S >= 2560,
+    # "Non-singleton logical dimension is replicated in destination")
+    s = s + mask_ref[...].astype(jnp.float32) * NEG_INF
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
     # fully-masked rows (possible for padded rows under a local window):
     # with finite NEG_INF they give p == exp(0) everywhere (l == S, never
-    # 0), so detect them from the MASK and emit 0 output + a huge lse so
+    # 0), so detect them from the MASK — row-min of the int8 mask is 1.0
+    # iff every entry is masked — and emit 0 output + a huge lse so
     # backward's exp(s - lse) underflows to 0 for every entry of the row
-    dead = jnp.all(mask_ref[...] != 0, axis=-1, keepdims=True)
+    dead = jnp.min(mask_ref[...].astype(jnp.float32), axis=-1, keepdims=True)
     o = jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[...],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    o_ref[...] = jnp.where(dead, 0.0, o / l).astype(o_ref.dtype)
+    o_ref[...] = ((o / l) * (1.0 - dead)).astype(o_ref.dtype)
     if lse_ref is not None:
-        lse = jnp.where(dead, -NEG_INF, m + jnp.log(l))
+        lse = (m + jnp.log(l)) * (1.0 - dead) + (-NEG_INF) * dead
         lse_ref[...] = jnp.broadcast_to(lse, (q_ref.shape[0], LSE_LANES))
 
 
@@ -328,8 +332,9 @@ def _wr_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
     dQ half:   p  = exp(s - lse);  ds  = p  * (dO.V^T - dsum);  dQ = scale*ds.K
     dKV half:  p' = exp(s' - lse'); ds' = p' * (V_blk.dO^T - dsum'); transposed
     per-query scalars (lse', dsum') arrive sublane-replicated [LSE_ROWS, S].
-    Masked entries may overflow exp (scores are unmasked here) — the where()
-    after exp zeroes them, and select(inf) never produces NaN.
+    Masked entries are killed ADDITIVELY before exp (s + mask*NEG_INF), so
+    exp underflows to exactly 0 for them — no i1 select (Mosaic cannot
+    relayout [block, S] i1 vectors at S >= 2560) and no inf to launder.
     """
     d = q_ref.shape[-1]
     scale = 1.0 / math.sqrt(d)
@@ -344,8 +349,8 @@ def _wr_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
         qb_ref, k_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale  # [block, S]
-    p = jnp.exp(s - lse_ref[:, :1])
-    p = jnp.where(mask_ref[...] != 0, 0.0, p)
+    p = jnp.exp(s + mask_ref[...].astype(jnp.float32) * NEG_INF
+                - lse_ref[:, :1])
     dp = jax.lax.dot_general(
         dob_ref, v_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -362,8 +367,8 @@ def _wr_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
         kb_ref, q_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale  # [block, S]
-    pT = jnp.exp(sT - lse_row_ref[0:1, :])
-    pT = jnp.where(maskT_ref[...] != 0, 0.0, pT)
+    pT = jnp.exp(sT + maskT_ref[...].astype(jnp.float32) * NEG_INF
+                 - lse_row_ref[0:1, :])
     dv = jax.lax.dot_general(
         pT.astype(do_ref.dtype), do_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
