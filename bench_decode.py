@@ -48,6 +48,10 @@ def main():
         from dalle_mtf_tpu.quantize import quantize_layers_int4
 
         params = quantize_layers_int4(params)
+    else:
+        from dalle_mtf_tpu.quantize import cast_decode_weights
+
+        params = cast_decode_weights(params)
     text = jax.random.randint(
         jax.random.PRNGKey(1), (1, cfg.text_seq_len), 0, cfg.text_vocab_size,
         jnp.int32,

@@ -115,6 +115,15 @@ class DalleConfig:
     # dw accumulator in the backward scan (its HBM traffic dominates the
     # fused path's cost) at the price of a larger [chunk, V] logits tile
     xent_chunks: int = 8
+    # serving: route quantized matvec-geometry matmuls through the Pallas
+    # streaming dequant kernels (ops/decode_matmul.py). Measured on v5e at
+    # dalle_coco batch-1 decode they LOSE to the XLA einsum forms (int8
+    # 1.161 s vs 0.921 s; int4 0.942 s vs 0.905 s): ~73 custom-call
+    # launches per token cost more than the dequant fusion they guarantee.
+    # Off by default; an option for batched-decode shapes where the
+    # per-call overhead amortizes. Keep off for TP-sharded serving (GSPMD
+    # cannot partition a pallas_call).
+    decode_kernels: bool = False
 
     @classmethod
     def from_params(
@@ -150,6 +159,7 @@ class DalleConfig:
             activation=params.get("activation") or "relu",
             remat_policy=params.get("remat_policy") or "dots_saveable",
             xent_chunks=int(params.get("xent_chunks") or 8),
+            decode_kernels=bool(params.get("decode_kernels", False)),
         )
 
     @property
@@ -324,53 +334,191 @@ class DALLE:
         return self.cfg.attention_type in ("ring", "local_ring")
 
     def _w(self, p, name):
-        """Weight getter: dequantizes int8/int4 serving weights
-        transparently (quantize.py adds ``<name>_scale`` [+ ``_int4``]
-        leaves; XLA fuses the shift/mask/multiply into the reading matmul,
-        so the wide copy never hits HBM)."""
+        """Weight getter for the unpacked forms: dequantizes int8 serving
+        weights transparently (quantize.py adds ``<name>_scale``; XLA fuses
+        the convert+multiply into the reading matmul). Int4 never reaches
+        here — _einsum_w streams its nibble views directly."""
         dtype = self.cfg.policy.compute_dtype
-        w = p[name]
-        if p.get(name + "_int4") is not None:
-            from dalle_mtf_tpu.quantize import _PACK_AXIS, unpack_int4  # noqa: PLC0415
-
-            # _PACK_AXIS indexes the STACKED [L, ...] tree; inside the layer
-            # scan the leading L is stripped
-            w = unpack_int4(w, _PACK_AXIS[name] - 1)
-        w = w.astype(dtype)
+        w = p[name].astype(dtype)
         scale = p.get(name + "_scale")
         if scale is not None:
             w = w * scale.astype(dtype)
         return w
 
+    def _streaming_eligible(self, m, k):
+        """True when a quantized matmul should go through the Pallas
+        streaming dequant kernels: matvec geometry (decode-scan rows),
+        lane-aligned contraction, real TPU backend, and not disabled for
+        TP-sharded serving (cfg.decode_kernels)."""
+        from dalle_mtf_tpu.ops.attention import _on_tpu  # noqa: PLC0415
+
+        return (
+            self.cfg.decode_kernels and m <= 32 and k % 256 == 0 and _on_tpu()
+        )
+
+    def _quant_matmul(self, p, name, spec, x, int4):
+        """Flatten the einsum geometry to [M, K] x [K, N] and stream the
+        quantized weight through ops/decode_matmul.py — packed/int8 bytes
+        read once per token, dequant in VMEM. Returns fp32 [.., N]-shaped
+        per the einsum output (caller casts)."""
+        from dalle_mtf_tpu.ops import decode_matmul as dmm  # noqa: PLC0415
+
+        w, scale = p[name], p[name + "_scale"]
+        bf16 = jnp.bfloat16
+        if spec == "bse,ehd->bhsd":
+            b, s, e = x.shape
+            h, d = w.shape[-2], w.shape[-1]
+            w2, s2 = w.reshape(-1, h * d), scale.reshape(1, h * d)
+            x2 = x.reshape(b * s, e).astype(bf16)
+            if int4:
+                out = dmm.int4_matmul(x2[:, : e // 2], x2[:, e // 2 :], w2, s2)
+            else:
+                out = dmm.int8_matmul(x2, w2, s2)
+            return out.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+        if spec == "bhsd,hde->bse":
+            b, h, s, d = x.shape
+            e = w.shape[-1]
+            w2, s2 = w.reshape(-1, e), scale.reshape(1, e)
+            if int4:
+                # wo packs head_dim halves PER HEAD ([H, D/2, E]); split d
+                # within each head so the rows line up with the packed rows
+                xl = x[..., : d // 2].transpose(0, 2, 1, 3).reshape(b * s, -1)
+                xh = x[..., d // 2 :].transpose(0, 2, 1, 3).reshape(b * s, -1)
+                out = dmm.int4_matmul(xl.astype(bf16), xh.astype(bf16), w2, s2)
+            else:
+                x2 = x.transpose(0, 2, 1, 3).reshape(b * s, -1).astype(bf16)
+                out = dmm.int8_matmul(x2, w2, s2)
+            return out.reshape(b, s, e)
+        # "bse,ei->bsi" / "bsi,ie->bse"
+        b, s, k = x.shape
+        n = w.shape[-1]
+        w2, s2 = w.reshape(-1, n), scale.reshape(1, n)
+        x2 = x.reshape(b * s, k).astype(bf16)
+        if int4:
+            out = dmm.int4_matmul(x2[:, : k // 2], x2[:, k // 2 :], w2, s2)
+        else:
+            out = dmm.int8_matmul(x2, w2, s2)
+        return out.reshape(b, s, n)
+
+    def _einsum_w(self, p, name, spec, x):
+        """Einsum against a possibly-quantized layer weight.
+
+        Quantized weights at matvec geometry stream through the Pallas
+        dequant kernels (_quant_matmul). Otherwise: for split-half packed
+        int4 (quantize.py) the matmul decomposes into two einsums against
+        the same-shape elementwise nibble views, each scaled like int8 —
+        the pattern XLA fuses into the operand read. The packed contraction
+        axis is always x's LAST axis for every layer weight (E for
+        wq/wk/wv/w_mlp1, I for w_mlp2, D for wo), so the activation splits
+        in half to match the packed row halves. No materialized wide unpack
+        ever hits HBM (the stack+reshape interleave it replaces made int4
+        decode 2.5x slower than int8 on v5e)."""
+        dtype = self.cfg.policy.compute_dtype
+        int4 = p.get(name + "_int4") is not None
+        if p.get(name + "_scale") is not None:
+            if spec == "bhsd,hde->bse":
+                m, k = x.shape[0] * x.shape[2], x.shape[1] * x.shape[3]
+            else:
+                m, k = x.shape[0] * x.shape[1], x.shape[2]
+            if self._streaming_eligible(m, k):
+                return self._quant_matmul(p, name, spec, x, int4).astype(dtype)
+        if not int4:
+            return jnp.einsum(spec, x, self._w(p, name))
+        from dalle_mtf_tpu.quantize import nibble_views  # noqa: PLC0415
+
+        scale = p[name + "_scale"].astype(dtype)
+        lo, hi = nibble_views(p[name])
+        h = x.shape[-1] // 2
+        return jnp.einsum(spec, x[..., :h], lo.astype(dtype) * scale) + jnp.einsum(
+            spec, x[..., h:], hi.astype(dtype) * scale
+        )
+
     def _qkv(self, p, a_in):
         """[B, S, E] -> q, k, v [B, H, S, D] (shared by train/prefill/decode)."""
-        q = jnp.einsum("bse,ehd->bhsd", a_in, self._w(p, "wq"))
-        k = jnp.einsum("bse,ehd->bhsd", a_in, self._w(p, "wk"))
-        v = jnp.einsum("bse,ehd->bhsd", a_in, self._w(p, "wv"))
+        q = self._einsum_w(p, "wq", "bse,ehd->bhsd", a_in)
+        k = self._einsum_w(p, "wk", "bse,ehd->bhsd", a_in)
+        v = self._einsum_w(p, "wv", "bse,ehd->bhsd", a_in)
         return q, k, v
 
     def _attn_out(self, p, a):
         dtype = self.cfg.policy.compute_dtype
-        return jnp.einsum("bhsd,hde->bse", a, self._w(p, "wo")) + p[
-            "o_b"
-        ].astype(dtype)
+        return self._einsum_w(p, "wo", "bhsd,hde->bse", a) + p["o_b"].astype(
+            dtype
+        )
 
     def _mlp(self, p, m_in):
         dtype = self.cfg.policy.compute_dtype
         act = getattr(jax.nn, self.cfg.activation)
         hdn = act(
-            jnp.einsum("bse,ei->bsi", m_in, self._w(p, "w_mlp1"))
+            self._einsum_w(p, "w_mlp1", "bse,ei->bsi", m_in)
             + p["b_mlp1"].astype(dtype)
         )
-        return jnp.einsum("bsi,ie->bse", hdn, self._w(p, "w_mlp2")) + p[
+        return self._einsum_w(p, "w_mlp2", "bsi,ie->bse", hdn) + p[
             "b_mlp2"
         ].astype(dtype)
 
+    def _w_out(self, params):
+        """Dequantized output projection [E, V] in compute dtype.
+
+        Materializes the int4 unpack (cheap concat of the two nibble
+        views) — use only in one-shot contexts (forward/prefill); the
+        per-token decode path streams the packed form via _last_logits."""
+        dtype = self.cfg.policy.compute_dtype
+        w = params["w_out"]
+        if params.get("w_out_int4") is not None:
+            from dalle_mtf_tpu.quantize import unpack_int4  # noqa: PLC0415
+
+            w = unpack_int4(w, 0)
+        w = w.astype(dtype)
+        scale = params.get("w_out_scale")
+        if scale is not None:
+            w = w * scale.astype(dtype)
+        return w
+
     def _last_logits(self, params, x_last):
-        """[B, E] final-LN'd hidden -> fp32 logits [B, vocab]."""
+        """[B, E] final-LN'd hidden -> fp32 logits [B, vocab].
+
+        w_out streams in its quantized/compute dtype — at dalle_coco scale
+        it is ~26% of the per-token decode weight stream, and the fp32
+        master form this once used doubled that slice. Matmul accumulates
+        fp32 (preferred_element_type), matching forward()'s logits path."""
+        dtype = self.cfg.policy.compute_dtype
+        w_scale = params.get("w_out_scale")
+        if w_scale is not None and self._streaming_eligible(
+            x_last.shape[0], x_last.shape[1]
+        ):
+            from dalle_mtf_tpu.ops import decode_matmul as dmm  # noqa: PLC0415
+
+            x16 = x_last.astype(jnp.bfloat16)
+            if params.get("w_out_int4") is not None:
+                h = x16.shape[-1] // 2
+                logits = dmm.int4_matmul(
+                    x16[:, :h], x16[:, h:], params["w_out"], w_scale
+                )
+            else:
+                logits = dmm.int8_matmul(x16, params["w_out"], w_scale)
+            return logits + params["b_out"]
+        if params.get("w_out_int4") is not None:
+            from dalle_mtf_tpu.quantize import nibble_views  # noqa: PLC0415
+
+            scale = params["w_out_scale"].astype(dtype)
+            lo, hi = nibble_views(params["w_out"])
+            h = x_last.shape[-1] // 2
+            x16 = x_last.astype(dtype)
+            return (
+                jnp.einsum(
+                    "be,ev->bv", x16[:, :h], lo.astype(dtype) * scale,
+                    preferred_element_type=jnp.float32,
+                )
+                + jnp.einsum(
+                    "be,ev->bv", x16[:, h:], hi.astype(dtype) * scale,
+                    preferred_element_type=jnp.float32,
+                )
+                + params["b_out"]
+            )
         return (
             jnp.einsum(
-                "be,ev->bv", x_last.astype(jnp.float32), params["w_out"],
+                "be,ev->bv", x_last.astype(dtype), self._w_out(params),
                 preferred_element_type=jnp.float32,
             )
             + params["b_out"]
@@ -576,14 +724,13 @@ class DALLE:
         constrain: Callable | None = None,
     ) -> jax.Array:
         """tokens [B, S] int32 -> logits [B, S, total_tokens] fp32."""
-        dtype = self.cfg.policy.compute_dtype
         x = self.hidden(params, tokens, rng, train, constrain)
         # bf16 inputs, fp32 accumulate + fp32 logits out: the reference also
         # computes to_logits in the activation dtype and casts the *result*
         # to fp32 (models.py:391-395) — an fp32 matmul here costs ~4x on the
         # MXU for no accuracy the xent can use.
         logits = jnp.einsum(
-            "bse,ev->bsv", x, params["w_out"].astype(dtype),
+            "bse,ev->bsv", x, self._w_out(params),
             preferred_element_type=jnp.float32,
         )
         return logits + params["b_out"]
@@ -616,7 +763,6 @@ class DALLE:
                 chunked_softmax_xent_auto,
             )
 
-            dtype = cfg.policy.compute_dtype
             x = self.hidden(params, tokens, rng, train, constrain)
             b_, s_, e_ = x.shape
             n = b_ * s_
@@ -625,7 +771,7 @@ class DALLE:
             )
             loss_flat = chunked_softmax_xent_auto(
                 x.reshape(n, e_),
-                params["w_out"].astype(dtype),
+                self._w_out(params),
                 params["b_out"],
                 labels.reshape(n),
                 z_loss,

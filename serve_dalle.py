@@ -67,6 +67,14 @@ def main():
     mesh = build_mesh(params.get("mesh_shape"))
     rules = parse_layout(params.get("layout"))
     dalle_params = shard_params(dalle_params, mesh, rules, axes)
+    if mesh.devices.size > 1:
+        # sharded serving keeps the einsum forms — GSPMD cannot partition
+        # the Pallas streaming dequant kernels (dalle.py::_streaming_eligible)
+        import dataclasses
+
+        from dalle_mtf_tpu.models.dalle import DALLE
+
+        dalle = DALLE(dataclasses.replace(dalle.cfg, decode_kernels=False))
     quant = args.quantize or ("int8" if args.int8 else "none")
     if quant != "none":
         from dalle_mtf_tpu.quantize import (
@@ -76,6 +84,12 @@ def main():
 
         fn = quantize_layers_int4 if quant == "int4" else quantize_layers_int8
         dalle_params = fn(dalle_params)
+    else:
+        # unquantized serving still casts the fp32 masters to bf16 ONCE —
+        # a convert left inside the decode scan streams fp32 (quantize.py)
+        from dalle_mtf_tpu.quantize import cast_decode_weights
+
+        dalle_params = cast_decode_weights(dalle_params)
 
     batch = args.batch_size or params["predict_batch_size"] or 4
     sampler = BatchingSampler(

@@ -50,6 +50,26 @@ def test_quantized_forward_close_and_decode_runs():
     assert int(toks.min()) >= 0 and int(toks.max()) < CFG.image_vocab_size
 
 
+def test_w_out_quantized_both_paths():
+    """The output projection joins the quantized stream — at dalle_coco
+    scale it is ~26% of the decode weight traffic and previously streamed
+    as fp32 masters (dalle.py::_last_logits)."""
+    model = DALLE(CFG)
+    params = model.init(jax.random.PRNGKey(0))
+    q8 = quantize_layers_int8(params)
+    assert q8["w_out"].dtype == jnp.int8
+    assert q8["w_out_scale"].shape == (1, CFG.total_tokens)
+    q4 = quantize_layers_int4(params)
+    assert q4["w_out"].dtype == jnp.int8
+    assert q4["w_out"].shape[0] == params["w_out"].shape[0] // 2
+    assert q4.get("w_out_int4") is not None
+    # dequantized w_out within the int8 per-column bound
+    w = np.asarray(params["w_out"])
+    deq = np.asarray(q8["w_out"]) * np.asarray(q8["w_out_scale"])
+    col_max = np.abs(w).max(axis=0, keepdims=True)
+    assert (np.abs(w - deq) <= col_max / 254 + 1e-8).all()
+
+
 def test_int4_pack_roundtrip_exact():
     rng = np.random.RandomState(0)
     q = jnp.asarray(rng.randint(-7, 8, (2, 6, 4)), jnp.int8)
