@@ -18,6 +18,7 @@ comparable round-to-round.
 
 from __future__ import annotations
 
+import functools
 import json
 import time
 
@@ -28,10 +29,12 @@ import optax
 BASELINE_TOKENS_PER_SEC_CHIP = 24_500.0
 
 # per-chip batch: sized for one v5e/v5p chip's HBM at dalle_coco scale
-# (overridable for sweeps: BENCH_BATCH / BENCH_REMAT_POLICY env vars)
+# (overridable for sweeps: BENCH_BATCH / BENCH_REMAT_POLICY env vars).
+# 18 is the measured sweet spot under donated state (16: 82.7k, 18: 83.2k,
+# 20: 81.8k tok/s/chip — BENCH.md r3 sweep)
 import os  # noqa: E402
 
-PER_CHIP_BATCH = int(os.environ.get("BENCH_BATCH", 16))
+PER_CHIP_BATCH = int(os.environ.get("BENCH_BATCH", 18))
 REMAT_POLICY = os.environ.get("BENCH_REMAT_POLICY", "dots_saveable")
 FUSED_XENT = bool(int(os.environ.get("BENCH_FUSED_XENT", "0")))
 XENT_CHUNKS = int(os.environ.get("BENCH_XENT_CHUNKS", "8"))
@@ -83,7 +86,9 @@ def main():
         batch_sharding,
     )
 
-    @jax.jit
+    # donate state like the real Trainer (trainer.py:263) — halves the
+    # params+opt residency and lets XLA update in place
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, tokens, rng):
         def loss_fn(p):
             loss, _ = model.loss(p, tokens, rng, train=True,
@@ -102,6 +107,15 @@ def main():
         )
     float(loss)  # host fetch: on some remote runtimes block_until_ready
     # does not actually synchronize; a value fetch always does
+
+    profile_dir = os.environ.get("BENCH_PROFILE")
+    if profile_dir:
+        with jax.profiler.trace(profile_dir):
+            for i in range(2):
+                params, opt_state, loss = train_step(
+                    params, opt_state, tokens, jax.random.fold_in(rng, 50 + i)
+                )
+            float(loss)
 
     t0 = time.perf_counter()
     for i in range(BENCH_STEPS):
