@@ -780,7 +780,19 @@ class DALLE:
             )
             loss_batch = loss_flat.reshape(b_, s_)
         else:
-            logits = self.forward(params, tokens, rng, train, constrain)
+            # Activation-dtype (bf16) logits into the xent, which upcasts
+            # to fp32 internally — the reference's exact to_logits-then-cast
+            # semantics (models.py:391-395: the final linear runs in the
+            # activation dtype; the fp32 cast happens on its *result*, so
+            # the reference's "fp32 logits" carry bf16-representable
+            # values). Halves every HBM pass over the [B, S, 50k] logits:
+            # measured -6.2 ms/step at the bench shape (BENCH.md r3 head
+            # study). forward() keeps its public fp32-logits contract for
+            # eval/sampling parity checks.
+            x = self.hidden(params, tokens, rng, train, constrain)
+            logits = jnp.einsum(
+                "bse,ev->bsv", x, self._w_out(params)
+            ) + params["b_out"]
             loss_batch = softmax_cross_entropy_with_logits(logits, labels, z_loss)
         return loss_batch.mean(), loss_batch
 
