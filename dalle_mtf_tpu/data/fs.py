@@ -40,6 +40,17 @@ def open_file(path: str, mode: str = "rb"):
     if is_remote(path):
         import fsspec  # noqa: PLC0415
 
+        if "r" in mode:
+            try:
+                # sequential-scan hints: large blocks + readahead caching
+                # (gcsfs then fetches multi-MB ranges ahead of the cursor,
+                # the window tf.data's GCS reader used); backends that
+                # don't take these kwargs fall through to defaults
+                return fsspec.open(
+                    path, mode, cache_type="readahead", block_size=16 << 20
+                ).open()
+            except TypeError:
+                pass
         return fsspec.open(path, mode).open()
     return open(path, mode)
 

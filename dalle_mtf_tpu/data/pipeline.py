@@ -127,12 +127,21 @@ class _Pipeline:
                 return
         from collections import deque  # noqa: PLC0415
 
+        from dalle_mtf_tpu.data.fs import is_remote  # noqa: PLC0415
+        from dalle_mtf_tpu.data.readahead import prefetch_iter  # noqa: PLC0415
+
         file_iter = iter(files)
         active: deque = deque()
 
         def refill() -> None:
             for f in file_iter:
-                active.append(self.record_iter_fn(f))
+                it = self.record_iter_fn(f)
+                if is_remote(f):
+                    # remote shards: overlap backend fetches across all
+                    # open streams (tf.data parallel_interleave's per-shard
+                    # pipelining, input_fns.py:85-104); order unchanged
+                    it = prefetch_iter(it)
+                active.append(it)
                 return
 
         while len(active) < self.cycle_length:

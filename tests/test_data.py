@@ -382,3 +382,112 @@ def test_interleaved_reads_mix_files():
         batch_size=1, shuffle=False, repeat=False, cycle_length=1,
     )
     assert list(p1._records()) == [0, 1, 2, 10, 11, 20, 21, 22, 23]
+
+
+class TestReadahead:
+    """Remote shards stream through a background prefetch thread per open
+    stream (data/readahead.py) — tf.data parallel_interleave's per-shard
+    pipelining (reference input_fns.py:85-104). Order must be byte-identical
+    to the synchronous reader; exceptions must surface at the consumer."""
+
+    def test_prefetch_preserves_order_and_values(self):
+        from dalle_mtf_tpu.data.readahead import prefetch_iter
+
+        src = list(range(1000))
+        assert list(prefetch_iter(iter(src), depth=7)) == src
+        assert list(prefetch_iter(iter([]), depth=4)) == []
+
+    def test_prefetch_propagates_source_exception(self):
+        import pytest
+
+        from dalle_mtf_tpu.data.readahead import prefetch_iter
+
+        def bad():
+            yield 1
+            yield 2
+            raise IOError("backend died")
+
+        it = prefetch_iter(bad(), depth=2)
+        assert next(it) == 1
+        assert next(it) == 2
+        with pytest.raises(IOError, match="backend died"):
+            next(it)
+
+    def test_prefetch_overlaps_slow_source(self):
+        import time as _time
+
+        from dalle_mtf_tpu.data.readahead import prefetch_iter
+
+        def slow():
+            for i in range(20):
+                _time.sleep(0.005)
+                yield i
+
+        # with prefetch, the consumer's own 5 ms/item work overlaps the
+        # source's 5 ms/item latency: total ~ max(a, b), not a + b
+        it = prefetch_iter(slow(), depth=32)
+        t0 = _time.perf_counter()
+        out = []
+        for x in it:
+            _time.sleep(0.005)
+            out.append(x)
+        dt = _time.perf_counter() - t0
+        assert out == list(range(20))
+        assert dt < 0.165  # serial would be ~0.20s+
+
+    def test_remote_interleave_matches_synchronous_order(self):
+        """The prefetch-wrapped remote interleave yields the exact record
+        sequence of the plain Python interleave."""
+        import fsspec
+
+        from dalle_mtf_tpu.data.fs import list_files
+        from dalle_mtf_tpu.data.pipeline import _Pipeline
+        from dalle_mtf_tpu.data.tfrecord import (
+            TFRecordWriter, serialize_example,
+        )
+
+        fs = fsspec.filesystem("memory")
+        if fs.exists("/ra"):
+            fs.rm("/ra", recursive=True)
+        idx = 0
+        for fi in range(5):
+            with TFRecordWriter(f"memory://ra/part_{fi}.tfrecords") as w:
+                for _ in range(6 + fi):
+                    w.write(serialize_example({"caption": [idx]}))
+                    idx += 1
+        files = list_files("memory://ra/*.tfrecords")
+
+        from dalle_mtf_tpu.data.native import read_tfrecord_file
+
+        def order_with_pipeline():
+            p = _Pipeline(
+                files, read_tfrecord_file, lambda r: r,
+                batch_size=1, shuffle=False, repeat=False, cycle_length=3,
+            )
+            return [parse_example(r)["caption"][0] for r in p._records()]
+
+        got = order_with_pipeline()
+
+        # plain synchronous round-robin reference
+        from collections import deque
+
+        its = deque()
+        file_iter = iter(files)
+        for _ in range(3):
+            its.append(read_tfrecord_file(next(file_iter)))
+        want = []
+        while its:
+            it = its[0]
+            try:
+                rec = next(it)
+            except StopIteration:
+                its.popleft()
+                nxt = next(file_iter, None)
+                if nxt is not None:
+                    its.append(read_tfrecord_file(nxt))
+                continue
+            want.append(parse_example(rec)["caption"][0])
+            its.rotate(-1)
+
+        assert got == want
+        assert sorted(got) == list(range(idx))
