@@ -20,7 +20,10 @@ from dalle_mtf_tpu.models.vae import DiscreteVAE, VAEConfig
 from dalle_mtf_tpu.train.optim import get_optimizer
 from dalle_mtf_tpu.utils.config import Config
 
-PER_CHIP_BATCH = 32
+import os  # noqa: E402
+
+PER_CHIP_BATCH = int(os.environ.get("BENCH_VAE_BATCH", 32))
+RECOMPUTE = bool(int(os.environ.get("BENCH_VAE_RECOMPUTE", "1")))
 WARMUP = 2
 STEPS = 10
 
@@ -32,7 +35,7 @@ def main():
         image_size=256,
         convblocks=((2, 128), (3, 256), (5, 512)),
         use_bf16=True,
-        recompute_grad=True,
+        recompute_grad=RECOMPUTE,
     )
     vae = DiscreteVAE(cfg)
     batch = PER_CHIP_BATCH * n_chips
