@@ -1,0 +1,112 @@
+"""Profile-guided autotuner for the wedge attention block size.
+
+The wedge family's one free parameter is the per-call q-block cap
+(WEDGE_MAX_BLOCK, attention.py) — 640 was measured on v5e at S=1280. Other
+chip generations (different VMEM, MXU latency, DMA overlap) and other
+sequence lengths can prefer different blocks, so this script measures the
+fused fwd+bwd train cost for each candidate cap at the requested shapes on
+the LOCAL chip and writes the winners to a JSON table that
+DALLE_TPU_ATTN_TUNE points the runtime at:
+
+    python autotune_attention.py --s 1280 2560 --out runs/attn_tune.json
+    DALLE_TPU_ATTN_TUNE=runs/attn_tune.json python train_dalle.py ...
+
+Block size only changes performance — value/grad parity across block sizes
+is covered by tests/test_ops.py — so a stale table is safe. Timing chains
+N_CHAIN calls in one jit (the tunneled runtime's ~13 ms dispatch floor
+makes single-call timing meaningless; BENCH.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+N_CHAIN = 50
+ITERS = 2
+CANDIDATES = (256, 384, 512, 640, 768, 896)
+
+
+def _time_fused(s: int, b: int, h: int, d: int, dtype) -> float:
+    """ms per fused value+grad call at the CURRENT tune table."""
+    from dalle_mtf_tpu.ops.attention import causal_attention
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q, k, v = (jax.random.normal(kk, (b, h, s, d), dtype) for kk in ks)
+
+    def step(c):
+        qq, kk, vv = c
+
+        def f(q_, k_, v_):
+            return (causal_attention(q_, k_, v_, use_pallas=True) ** 2).sum()
+
+        dq, dk, dv = jax.grad(f, argnums=(0, 1, 2))(qq, kk, vv)
+        # value-preserving perturbation so the chain is not CSE'd away
+        return (qq + dq * 1e-30, kk + dk * 1e-30, vv + dv * 1e-30)
+
+    @jax.jit
+    def run(c):
+        return jax.lax.scan(lambda c, _: (step(c), None), c, None,
+                            length=N_CHAIN)[0]
+
+    c = run((q, k, v))
+    c = run((q, k, v))
+    jax.tree_util.tree_map(lambda x: float(jnp.sum(x.astype(jnp.float32))), c)
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        c = run((q, k, v))
+    jax.tree_util.tree_map(lambda x: float(jnp.sum(x.astype(jnp.float32))), c)
+    return (time.perf_counter() - t0) / (ITERS * N_CHAIN) * 1e3
+
+
+def main():
+    from dalle_mtf_tpu.ops import attention as attn
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--s", type=int, nargs="+", default=[1280])
+    ap.add_argument("--b", type=int, default=16)
+    ap.add_argument("--h", type=int, default=8)
+    ap.add_argument("--d", type=int, default=128)
+    ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--out", default="runs/attn_tune.json")
+    args = ap.parse_args()
+    dtype = jnp.float32 if args.fp32 else jnp.bfloat16
+    itemsize = 4 if args.fp32 else 2
+
+    table = {"wedge": {}}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            table = json.load(f)
+        table.setdefault("wedge", {})
+    measurements = table.setdefault("_measurements", {})
+
+    for s in args.s:
+        s128 = -(-s // 128) * 128
+        key = f"{s128},{itemsize}"
+        rows = {}
+        for cand in CANDIDATES:
+            if args.fp32 and cand > attn.WEDGE_MAX_BLOCK // 2 + 128:
+                continue  # fp32 VMEM budget — mirror _wedge_layout's halving
+            attn.set_tune_table({"wedge": {key: cand}})
+            ms = _time_fused(s, args.b, args.h, args.d, dtype)
+            rows[cand] = round(ms, 4)
+            print(f"S={s} cap={cand}: {ms:.3f} ms", flush=True)
+        attn.set_tune_table(None)
+        best = min(rows, key=rows.get)
+        table["wedge"][key] = best
+        measurements[key] = rows
+        print(f"S={s} ({key}): best cap {best} ({rows[best]:.3f} ms)")
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(table, f, indent=1, sort_keys=True)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

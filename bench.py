@@ -38,6 +38,7 @@ PER_CHIP_BATCH = int(os.environ.get("BENCH_BATCH", 18))
 REMAT_POLICY = os.environ.get("BENCH_REMAT_POLICY", "dots_saveable")
 FUSED_XENT = bool(int(os.environ.get("BENCH_FUSED_XENT", "0")))
 XENT_CHUNKS = int(os.environ.get("BENCH_XENT_CHUNKS", "8"))
+LN_DTYPE = os.environ.get("BENCH_LN_DTYPE", "float32")
 WARMUP_STEPS = 3
 BENCH_STEPS = 10
 
@@ -61,6 +62,7 @@ def main():
         recompute_grad=True,  # dalle_coco sets it; needed for batch 16/chip
         remat_policy=REMAT_POLICY,
         xent_chunks=XENT_CHUNKS,
+        ln_dtype=LN_DTYPE,
     )
     model = DALLE(cfg)
     batch = PER_CHIP_BATCH * n_chips

@@ -124,6 +124,14 @@ class DalleConfig:
     # per-call overhead amortizes. Keep off for TP-sharded serving (GSPMD
     # cannot partition a pallas_call).
     decode_kernels: bool = False
+    # layernorm compute dtype. The reference's norm (layers.py:30-33) runs
+    # entirely in the ACTIVATION dtype — under bf_16 its mean/var/rsqrt
+    # (and the g/b affine, models.py:373-389) are bf16 ops — so
+    # "activation" is the ref-exact setting, and it halves the HBM traffic
+    # of the VPU-bound fp32 LN backward chains (~33 ms/step at dalle_coco
+    # scale; BENCH.md step profile). "float32" upcasts around the
+    # normalize, which is strictly more precise than the reference.
+    ln_dtype: str = "float32"  # | "activation"
 
     @classmethod
     def from_params(
@@ -160,6 +168,7 @@ class DalleConfig:
             remat_policy=params.get("remat_policy") or "dots_saveable",
             xent_chunks=int(params.get("xent_chunks") or 8),
             decode_kernels=bool(params.get("decode_kernels", False)),
+            ln_dtype=params.get("ln_dtype") or "float32",
         )
 
     @property
@@ -303,15 +312,18 @@ class DALLE:
 
     # --------------------------------------------------------------- helpers
 
-    @staticmethod
-    def _layer_norm(x, g, b, eps=1e-5):
-        # reference layer_norm (models.py:373-389): normalize then affine,
-        # computed in fp32 for stability.
-        x32 = x.astype(jnp.float32)
-        mean = jnp.mean(x32, axis=-1, keepdims=True)
-        var = jnp.var(x32, axis=-1, keepdims=True)
-        out = (x32 - mean) * jax.lax.rsqrt(var + eps)
-        out = out * g.astype(jnp.float32) + b.astype(jnp.float32)
+    def _layer_norm(self, x, g, b, eps=1e-5):
+        # reference layer_norm (models.py:373-389): normalize then affine.
+        # cfg.ln_dtype picks the compute dtype: "activation" runs the whole
+        # chain in x.dtype like the reference's norm (layers.py:30-33 —
+        # bf16 reductions under bf_16; TPU reduces carry an f32 accumulator
+        # either way), "float32" upcasts around the normalize.
+        ct = jnp.float32 if self.cfg.ln_dtype == "float32" else x.dtype
+        xc = x.astype(ct)
+        mean = jnp.mean(xc, axis=-1, keepdims=True)
+        var = jnp.var(xc, axis=-1, keepdims=True)
+        out = (xc - mean) * jax.lax.rsqrt(var + eps)
+        out = out * g.astype(ct) + b.astype(ct)
         return out.astype(x.dtype)
 
     def _dropout(self, rng, x, rate, train):

@@ -460,6 +460,44 @@ def _wr_backward(q, k, v, out, lse_flat, g, window, interpret: bool):
 
 WEDGE_MAX_BLOCK = 640  # largest per-call q-block (score row [block, S] fp32)
 
+# Profile-guided block-size autotuning (autotune_attention.py): a JSON
+# table {"wedge": {"<s128>,<itemsize>": max_block}} measured per chip
+# generation. Loaded once from the file named by DALLE_TPU_ATTN_TUNE;
+# the tuner and tests inject tables directly via set_tune_table(). The
+# built-in WEDGE_MAX_BLOCK = 640 is the v5e-measured default — block size
+# only changes perf (value/grad parity across block sizes is tested), so
+# a missing/stale table is always safe.
+_TUNE_TABLE: dict | None = None
+
+
+def set_tune_table(table: dict | None) -> None:
+    """Install an autotune table programmatically; None re-arms the lazy
+    load from DALLE_TPU_ATTN_TUNE ({} disables tuning outright)."""
+    global _TUNE_TABLE
+    _TUNE_TABLE = table
+
+
+def _tune_table() -> dict:
+    global _TUNE_TABLE
+    if _TUNE_TABLE is None:
+        import json  # noqa: PLC0415
+        import os  # noqa: PLC0415
+        import warnings  # noqa: PLC0415
+
+        path = os.environ.get("DALLE_TPU_ATTN_TUNE", "")
+        table = {}
+        if path:
+            try:
+                with open(path) as f:
+                    table = json.load(f)
+            except (OSError, ValueError) as e:
+                warnings.warn(
+                    f"DALLE_TPU_ATTN_TUNE={path!r} unreadable ({e}); "
+                    "using built-in block sizes", stacklevel=2,
+                )
+        _TUNE_TABLE = table
+    return _TUNE_TABLE
+
 
 def _wedge_layout(s: int, itemsize: int = 2) -> tuple[int, int, int]:
     """(block, s_pad, n_calls): fewest ≤max-block-sized 128-multiple
@@ -469,8 +507,12 @@ def _wedge_layout(s: int, itemsize: int = 2) -> tuple[int, int, int]:
     stack — at e.g. S=2560 fp32 the two [640, S] score tiles plus fp32
     q/do/k/v would exceed the 16 MB budget — so the per-call block halves,
     mirroring _wr_pick_block's itemsize-aware budget."""
-    max_block = WEDGE_MAX_BLOCK if itemsize <= 2 else WEDGE_MAX_BLOCK // 2
     s128 = _round_up(s, 128)
+    tuned = _tune_table().get("wedge", {}).get(f"{s128},{itemsize}")
+    if tuned:
+        max_block = _round_up(int(tuned), 128)
+    else:
+        max_block = WEDGE_MAX_BLOCK if itemsize <= 2 else WEDGE_MAX_BLOCK // 2
     n = -(-s128 // max_block)
     block = _round_up(-(-s128 // n), 128)
     return block, block * n, n

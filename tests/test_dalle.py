@@ -176,3 +176,31 @@ def test_activation_config():
     )[0]
     assert float(l_relu) != float(l_gelu)
     assert np.isfinite(float(l_gelu))
+
+
+def test_ln_dtype_activation_matches_f32():
+    """ln_dtype="activation" is the reference's exact norm semantics
+    (layers.py:30-33 runs mean/var/rsqrt in the activation dtype): at fp32
+    activations the two settings are identical; under bf16 compute the
+    loss must stay finite and within bf16 tolerance of the fp32-LN loss."""
+    tokens = _tokens(jax.random.PRNGKey(1))
+    params = DALLE(CFG).init(jax.random.PRNGKey(0))
+    base = dict(
+        n_embd=64, text_vocab_size=50, image_vocab_size=20,
+        text_seq_len=8, image_seq_len=16, n_layers=2, n_heads=2,
+    )
+    l_f32 = DALLE(DalleConfig(**base)).loss(params, tokens, train=False)[0]
+    l_act = DALLE(DalleConfig(**base, ln_dtype="activation")).loss(
+        params, tokens, train=False
+    )[0]
+    # fp32 activations: "activation" IS fp32 — bitwise same graph
+    assert float(l_f32) == float(l_act)
+
+    l_bf = DALLE(DalleConfig(**base, bf_16=True)).loss(
+        params, tokens, train=False
+    )[0]
+    l_bf_act = DALLE(
+        DalleConfig(**base, bf_16=True, ln_dtype="activation")
+    ).loss(params, tokens, train=False)[0]
+    assert np.isfinite(float(l_bf_act))
+    assert abs(float(l_bf_act) - float(l_bf)) < 0.05 * abs(float(l_bf))

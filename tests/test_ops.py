@@ -246,6 +246,81 @@ class TestWedgeKernels:
             assert s_pad >= s and s_pad == block * n
 
 
+class TestAttentionAutotune:
+    """Profile-guided block-size table (autotune_attention.py): the tuned
+    cap overrides WEDGE_MAX_BLOCK per (s128, itemsize), the table loads
+    from DALLE_TPU_ATTN_TUNE, a broken file falls back to defaults, and —
+    the safety property the tuner relies on — block size never changes
+    values or grads."""
+
+    @pytest.fixture(autouse=True)
+    def _reset_table(self, monkeypatch):
+        from dalle_mtf_tpu.ops import attention as attn
+
+        monkeypatch.delenv("DALLE_TPU_ATTN_TUNE", raising=False)
+        attn.set_tune_table(None)
+        yield
+        attn.set_tune_table(None)
+
+    def test_tuned_cap_overrides_default(self):
+        from dalle_mtf_tpu.ops import attention as attn
+
+        assert attn._wedge_layout(1280) == (640, 1280, 2)
+        default_fp32 = attn._wedge_layout(1280, itemsize=4)
+        attn.set_tune_table({"wedge": {"1280,2": 256}})
+        assert attn._wedge_layout(1280) == (256, 1280, 5)
+        # other shapes / itemsizes untouched
+        assert attn._wedge_layout(2048) == (512, 2048, 4)
+        assert attn._wedge_layout(1280, itemsize=4) == default_fp32
+        attn.set_tune_table(None)
+        assert attn._wedge_layout(1280) == (640, 1280, 2)
+
+    def test_table_loads_from_env_file(self, tmp_path, monkeypatch):
+        import json
+
+        from dalle_mtf_tpu.ops import attention as attn
+
+        p = tmp_path / "tune.json"
+        p.write_text(json.dumps({"wedge": {"768,2": 384}}))
+        monkeypatch.setenv("DALLE_TPU_ATTN_TUNE", str(p))
+        attn.set_tune_table(None)
+        assert attn._wedge_layout(700) == (384, 768, 2)
+
+    def test_broken_table_file_warns_and_falls_back(self, tmp_path, monkeypatch):
+        from dalle_mtf_tpu.ops import attention as attn
+
+        p = tmp_path / "tune.json"
+        p.write_text("{not json")
+        monkeypatch.setenv("DALLE_TPU_ATTN_TUNE", str(p))
+        attn.set_tune_table(None)
+        with pytest.warns(UserWarning, match="unreadable"):
+            got = attn._wedge_layout(1280)
+        assert got == (640, 1280, 2)
+
+    def test_block_size_is_value_preserving(self):
+        from dalle_mtf_tpu.ops import attention as attn
+
+        b, h, seq, d = 1, 2, 640, 128
+        ks = jax.random.split(jax.random.PRNGKey(5), 4)
+        q, k, v = (jax.random.normal(kk, (b, h, seq, d), jnp.float32)
+                   for kk in ks[:3])
+        g = jax.random.normal(ks[3], (b, h, seq, d), jnp.float32)
+
+        outs, grads = [], []
+        for cap in (256, 640):
+            attn.set_tune_table({"wedge": {"640,4": cap}})
+            f = lambda *a: (causal_attention(  # noqa: E731
+                *a, use_pallas=True, interpret=True) * g).sum()
+            outs.append(np.asarray(causal_attention(
+                q, k, v, use_pallas=True, interpret=True)))
+            grads.append(jax.grad(f, argnums=(0, 1, 2))(q, k, v))
+        np.testing.assert_allclose(outs[0], outs[1], atol=2e-5)
+        for ga, gb in zip(grads[0], grads[1]):
+            np.testing.assert_allclose(
+                np.asarray(ga), np.asarray(gb), atol=3e-5
+            )
+
+
 class TestAttentionDropoutKernel:
     """Attention-weight dropout INSIDE the wedge kernels: a coordinate-hash
     keep mask regenerated identically by the forward, the dQ prefix half,
