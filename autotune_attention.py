@@ -88,19 +88,42 @@ def main():
     for s in args.s:
         s128 = -(-s // 128) * 128
         key = f"{s128},{itemsize}"
-        rows = {}
-        for cand in CANDIDATES:
-            if args.fp32 and cand > attn.WEDGE_MAX_BLOCK // 2 + 128:
-                continue  # fp32 VMEM budget — mirror _wedge_layout's halving
-            attn.set_tune_table({"wedge": {key: cand}})
-            ms = _time_fused(s, args.b, args.h, args.d, dtype)
-            rows[cand] = round(ms, 4)
-            print(f"S={s} cap={cand}: {ms:.3f} ms", flush=True)
-        attn.set_tune_table(None)
-        best = min(rows, key=rows.get)
-        table["wedge"][key] = best
-        measurements[key] = rows
-        print(f"S={s} ({key}): best cap {best} ({rows[best]:.3f} ms)")
+        if s128 <= attn.WHOLE_ROW_MAX_SEQ:
+            rows = {}
+            for cand in CANDIDATES:
+                if args.fp32 and cand > attn.WEDGE_MAX_BLOCK // 2 + 128:
+                    continue  # fp32 VMEM budget — mirror _wedge_layout
+                attn.set_tune_table({"wedge": {key: cand}})
+                ms = _time_fused(s, args.b, args.h, args.d, dtype)
+                rows[cand] = round(ms, 4)
+                print(f"S={s} wedge cap={cand}: {ms:.3f} ms", flush=True)
+            attn.set_tune_table(None)
+            best = min(rows, key=rows.get)
+            table["wedge"][key] = best
+            measurements[f"wedge {key}"] = {str(k): v for k, v in rows.items()}
+            print(f"S={s} ({key}): best wedge cap {best} ({rows[best]:.3f} ms)")
+        else:
+            # loop family: [bq=bk, bwd_q=bwd_k] grid. The backward pads
+            # to the forward's s_pad = round_up(s, bq), so bwd candidates
+            # must divide THAT; entries without an explicit bwd fall back
+            # to the dispatch default (bq, valid because bq | s_pad).
+            rows = {}
+            for c in (128, 256, 512):
+                s_pad = -(-s // c) * c
+                bwds = [bw for bw in (128, 256, 512, 640, 1088, 2176)
+                        if s_pad % bw == 0 and bw != c]
+                for entry in [[c, c]] + [[c, c, bw, bw] for bw in bwds]:
+                    attn.set_tune_table({"loop": {key: entry}})
+                    ms = _time_fused(s, args.b, args.h, args.d, dtype)
+                    rows[tuple(entry)] = round(ms, 4)
+                    print(f"S={s} loop {entry}: {ms:.3f} ms", flush=True)
+            attn.set_tune_table(None)
+            best = min(rows, key=rows.get)
+            table.setdefault("loop", {})[key] = list(best)
+            measurements[f"loop {key}"] = {str(list(k)): v
+                                           for k, v in rows.items()}
+            print(f"S={s} ({key}): best loop {list(best)} "
+                  f"({rows[best]:.3f} ms)")
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:

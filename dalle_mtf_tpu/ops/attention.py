@@ -1230,6 +1230,24 @@ def causal_attention(
             return attention_reference(
                 q, k, v, True, window, dropout_rate, dropout_rng
             )
+        # loop-family autotune: {"loop": {"<s128>,<itemsize>": [bq, bk,
+        # bwd_q, bwd_k]}} — applied only where the caller left the
+        # defaults. The backward reuses the FORWARD's padded length
+        # (s_pad = round_up(s, bq); _flash_backward pads to
+        # lse.shape[1]), so bwd entries apply only if they divide s_pad.
+        if _round_up(s, 128) > WHOLE_ROW_MAX_SEQ:
+            tuned = _tune_table().get("loop", {}).get(
+                f"{_round_up(s, 128)},{q.dtype.itemsize}"
+            )
+            if tuned and block_q == DEFAULT_BLOCK_Q and block_k == DEFAULT_BLOCK_K:
+                block_q, block_k = int(tuned[0]), int(tuned[1])
+                s_pad = -(-s // block_q) * block_q
+                if (bwd_block_q is None and len(tuned) > 2
+                        and s_pad % int(tuned[2]) == 0):
+                    bwd_block_q = int(tuned[2])
+                if (bwd_block_k is None and len(tuned) > 3
+                        and s_pad % int(tuned[3]) == 0):
+                    bwd_block_k = int(tuned[3])
         if bwd_block_q is None:
             bwd_block_q = DEFAULT_BWD_BLOCK if s % DEFAULT_BWD_BLOCK == 0 else block_q
         if bwd_block_k is None:

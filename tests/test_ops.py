@@ -297,6 +297,51 @@ class TestAttentionAutotune:
             got = attn._wedge_layout(1280)
         assert got == (640, 1280, 2)
 
+    def test_loop_family_tuned_blocks(self, monkeypatch):
+        """A {"loop": ...} table entry reaches _flash_attention's block
+        arguments (bwd entries gated on dividing the fwd-padded length)
+        and stays value/grad-preserving."""
+        from dalle_mtf_tpu.ops import attention as attn_mod
+
+        monkeypatch.setattr(attn_mod, "WHOLE_ROW_MAX_SEQ", 0)
+        seen = {}
+        orig = attn_mod._flash_attention
+
+        def spy(q, k, v, window, bq, bk, bwq, bwk, *a):
+            seen.update(bq=bq, bk=bk, bwq=bwq, bwk=bwk)
+            return orig(q, k, v, window, bq, bk, bwq, bwk, *a)
+
+        monkeypatch.setattr(attn_mod, "_flash_attention", spy)
+        b, h, seq, d = 1, 2, 320, 128  # s128 = 384
+        ks = jax.random.split(jax.random.PRNGKey(9), 4)
+        q, k, v = (jax.random.normal(kk, (b, h, seq, d), jnp.float32)
+                   for kk in ks[:3])
+        g = jax.random.normal(ks[3], (b, h, seq, d), jnp.float32)
+
+        attn_mod.set_tune_table({"loop": {"384,4": [128, 128, 128, 128]}})
+        out = attn_mod.causal_attention(
+            q, k, v, use_pallas=True, interpret=True
+        )
+        assert seen == {"bq": 128, "bk": 128, "bwq": 128, "bwk": 128}
+        np.testing.assert_allclose(
+            np.asarray(out),
+            np.asarray(attention_reference(q, k, v, causal=True)),
+            atol=2e-5,
+        )
+        gf = jax.grad(lambda *a: (attn_mod.causal_attention(
+            *a, use_pallas=True, interpret=True) * g).sum(),
+            argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(lambda *a: (attention_reference(
+            *a, causal=True) * g).sum(), argnums=(0, 1, 2))(q, k, v)
+        for a_, b_ in zip(gf, gr):
+            np.testing.assert_allclose(
+                np.asarray(a_), np.asarray(b_), atol=5e-4
+            )
+        # a bwd entry that does NOT divide s_pad is ignored (fallback)
+        attn_mod.set_tune_table({"loop": {"384,4": [128, 128, 640, 640]}})
+        attn_mod.causal_attention(q, k, v, use_pallas=True, interpret=True)
+        assert (seen["bq"], seen["bwq"]) == (128, 128)
+
     def test_block_size_is_value_preserving(self):
         from dalle_mtf_tpu.ops import attention as attn
 
