@@ -102,11 +102,45 @@ def main():
             table["wedge"][key] = best
             measurements[f"wedge {key}"] = {str(k): v for k, v in rows.items()}
             print(f"S={s} ({key}): best wedge cap {best} ({rows[best]:.3f} ms)")
+        elif not args.fp32:
+            # hybrid regime (bf16, S ≤ WEDGE_FWD_MAX_SEQ): the forward is
+            # the capped wedge, the backward the loop kernels — sweep
+            # wedge cap × bwd block. bwd candidates must divide the
+            # wedge's padded length (round_up to cap blocks).
+            rows = {}
+            caps = (256, 512) if s128 <= attn.WEDGE_FWD_MAX_SEQ else (0,)
+            for cap in caps:
+                if cap:
+                    _, s_pad, _ = attn._wedge_layout(s, itemsize, cap)
+                else:
+                    s_pad = -(-s // 256) * 256  # pure-loop fwd, 256 default
+                bwds = [bw for bw in (128, 256, 512, 1088, 2176)
+                        if s_pad % bw == 0]
+                for bw in bwds:
+                    entry = {"loop": {key: [256, 256, bw, bw]}}
+                    if cap:
+                        entry["wedge"] = {key: cap}
+                    attn.set_tune_table(entry)
+                    ms = _time_fused(s, args.b, args.h, args.d, dtype)
+                    rows[(cap, bw)] = round(ms, 4)
+                    print(f"S={s} cap={cap or 'loop'} bwd={bw}: {ms:.3f} ms",
+                          flush=True)
+            attn.set_tune_table(None)
+            best = min(rows, key=rows.get)
+            cap, bw = best
+            if cap:
+                table["wedge"][key] = cap
+            table.setdefault("loop", {})[key] = [256, 256, bw, bw]
+            measurements[f"hybrid {key}"] = {str(list(k)): v
+                                             for k, v in rows.items()}
+            print(f"S={s} ({key}): best cap={cap or 'loop'} bwd={bw} "
+                  f"({rows[best]:.3f} ms)")
         else:
-            # loop family: [bq=bk, bwd_q=bwd_k] grid. The backward pads
-            # to the forward's s_pad = round_up(s, bq), so bwd candidates
-            # must divide THAT; entries without an explicit bwd fall back
-            # to the dispatch default (bq, valid because bq | s_pad).
+            # fp32 long-S: pure loop family — [bq=bk, bwd_q=bwd_k] grid.
+            # The backward pads to the forward's s_pad = round_up(s, bq),
+            # so bwd candidates must divide THAT; entries without an
+            # explicit bwd fall back to the dispatch default (bq, valid
+            # because bq | s_pad).
             rows = {}
             for c in (128, 256, 512):
                 s_pad = -(-s // c) * c

@@ -499,20 +499,26 @@ def _tune_table() -> dict:
     return _TUNE_TABLE
 
 
-def _wedge_layout(s: int, itemsize: int = 2) -> tuple[int, int, int]:
+def _wedge_layout(
+    s: int, itemsize: int = 2, max_block: int | None = None
+) -> tuple[int, int, int]:
     """(block, s_pad, n_calls): fewest ≤max-block-sized 128-multiple
     blocks covering round_up(s, 128).
 
     fp32 inputs (itemsize 4) double every operand on the kernel's VMEM
     stack — at e.g. S=2560 fp32 the two [640, S] score tiles plus fp32
     q/do/k/v would exceed the 16 MB budget — so the per-call block halves,
-    mirroring _wr_pick_block's itemsize-aware budget."""
+    mirroring _wr_pick_block's itemsize-aware budget. An explicit
+    ``max_block`` (the hybrid long-S forward) bypasses both the tune table
+    and the default cap."""
     s128 = _round_up(s, 128)
-    tuned = _tune_table().get("wedge", {}).get(f"{s128},{itemsize}")
-    if tuned:
-        max_block = _round_up(int(tuned), 128)
-    else:
-        max_block = WEDGE_MAX_BLOCK if itemsize <= 2 else WEDGE_MAX_BLOCK // 2
+    if max_block is None:
+        tuned = _tune_table().get("wedge", {}).get(f"{s128},{itemsize}")
+        if tuned:
+            max_block = _round_up(int(tuned), 128)
+        else:
+            max_block = (WEDGE_MAX_BLOCK if itemsize <= 2
+                         else WEDGE_MAX_BLOCK // 2)
     n = -(-s128 // max_block)
     block = _round_up(-(-s128 // n), 128)
     return block, block * n, n
@@ -597,9 +603,10 @@ def _wedge_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 
 
 def _wedge_forward(q, k, v, window, interpret: bool, with_lse: bool = False,
-                   dropout_rate: float = 0.0, dropout_seed=None):
+                   dropout_rate: float = 0.0, dropout_seed=None,
+                   max_block: int | None = None):
     b, h, s, d = q.shape
-    block, s_pad, n_q = _wedge_layout(s, q.dtype.itemsize)
+    block, s_pad, n_q = _wedge_layout(s, q.dtype.itemsize, max_block)
     bh = b * h
     qf = _pad_seq(q, s_pad).reshape(bh, s_pad, d)
     kf = _pad_seq(k, s_pad).reshape(bh, s_pad, d)
@@ -834,15 +841,43 @@ SHORT_IMPL = _os0.environ.get("DALLE_TPU_ATTN_SHORT", "wedge")
 
 # ------------------------------------------------------------ loop dispatch
 
+WEDGE_FWD_MAX_SEQ = 6144  # hybrid regime: wedge FORWARD + loop backward
+
+
+def _wedge_long_cap(s128: int) -> int:
+    """VMEM-safe q-block cap for the hybrid long-S wedge forward (bf16):
+    one [cap, s_pad] fp32 score buffer (Mosaic reuses it for exp) plus the
+    resident bf16 K/V prefix must fit a ~10 MB working budget. The cap is
+    a 256-multiple so the loop backward's default 256 blocks always divide
+    the forward's padded length (_flash_backward reads s_pad off lse)."""
+    cap = (10 << 20) // (4 * s128) // 256 * 256
+    return max(256, min(512, cap))
+
+
 def _flash_forward(
     q, k, v, window, block_q: int, block_k: int, interpret: bool,
     with_lse: bool = False,
 ):
     b, h, s, d = q.shape
-    if _round_up(s, 128) <= WHOLE_ROW_MAX_SEQ:
+    s128 = _round_up(s, 128)
+    if s128 <= WHOLE_ROW_MAX_SEQ:
         if SHORT_IMPL == "wedge":
             return _wedge_forward(q, k, v, window, interpret, with_lse)
         return _wr_forward(q, k, v, window, interpret, with_lse)
+    if SHORT_IMPL == "wedge" and q.dtype.itemsize <= 2 and s128 <= WEDGE_FWD_MAX_SEQ:
+        # Hybrid: the causal-skip wedge still wins the FORWARD here (the
+        # loop kernels measured 50.4 TF/s fwd at S=4352 vs the wedge's
+        # 88.1 at S=2560) with a reduced, VMEM-safe q-block; the backward
+        # stays on the loop kernels, whose streaming K/V tiles are what
+        # fits at these lengths. A tuned wedge cap (floored to a
+        # 256-multiple for backward divisibility) overrides the analytic
+        # one. fp32 falls through to the loop (debug arm; its doubled
+        # operands don't fit the hybrid's budget).
+        tuned = _tune_table().get("wedge", {}).get(f"{s128},{q.dtype.itemsize}")
+        cap = (max(256, int(tuned) // 256 * 256) if tuned
+               else _wedge_long_cap(s128))
+        return _wedge_forward(q, k, v, window, interpret, with_lse,
+                              max_block=cap)
     block_q = min(block_q, s)
     block_k = min(block_k, s)
     s_pad = ((s + block_q - 1) // block_q) * block_q
@@ -1014,6 +1049,15 @@ def _flash_backward(
     block_q = min(block_q, s)
     block_k = min(block_k, s)
     s_pad = lse_flat.shape[1]
+    # The grids tile s_pad — which the FORWARD chose (under the hybrid
+    # wedge-fwd regime it is a multiple of the wedge block, not of s or of
+    # DEFAULT_BWD_BLOCK) — so blocks that don't divide it fall back to the
+    # largest power-of-two tile that does (256 by construction of
+    # _wedge_long_cap; 128 is always valid, everything is 128-aligned).
+    if s_pad % block_q:
+        block_q = 256 if s_pad % 256 == 0 else 128
+    if s_pad % block_k:
+        block_k = 256 if s_pad % 256 == 0 else 128
     bh = b * h
 
     # rowsum(dO ∘ O), lane-replicated like lse

@@ -33,6 +33,8 @@ BENCH_VAE_RECOMPUTE=1 BENCH_VAE_BATCH=64 timeout 900 python bench_vae.py 2>&1 | 
 
 echo "=== autotune wedge caps (S=1280, 2560) ==="
 timeout 1800 python autotune_attention.py --s 1280 2560 --out runs/attn_tune.json 2>&1 | tail -8
+echo "=== autotune loop blocks (S=4352, dalle_4k) ==="
+timeout 2400 python autotune_attention.py --s 4352 --b 2 --out runs/attn_tune.json 2>&1 | tail -14
 echo "=== bench.py with tuned caps (if any change) ==="
 DALLE_TPU_ATTN_TUNE=runs/attn_tune.json timeout 900 python bench.py 2>&1 | tail -1
 

@@ -246,6 +246,113 @@ class TestWedgeKernels:
             assert s_pad >= s and s_pad == block * n
 
 
+class TestHybridWedgeForward:
+    """3072 < S ≤ WEDGE_FWD_MAX_SEQ runs the wedge FORWARD (causal-skip,
+    VMEM-capped block) with the loop-kernel BACKWARD. Forced here at small
+    shapes by shrinking both dispatch thresholds."""
+
+    @pytest.fixture(autouse=True)
+    def _small_thresholds(self, monkeypatch):
+        from dalle_mtf_tpu.ops import attention as attn_mod
+
+        monkeypatch.setattr(attn_mod, "WHOLE_ROW_MAX_SEQ", 128)
+        monkeypatch.setattr(attn_mod, "WEDGE_FWD_MAX_SEQ", 2560)
+        attn_mod.set_tune_table({})
+        yield
+        attn_mod.set_tune_table(None)
+
+    @pytest.mark.parametrize("seq,window", [(1536, None), (1536, 300), (1472, None)])
+    def test_value_and_grad_match_reference(self, seq, window, monkeypatch):
+        from dalle_mtf_tpu.ops import attention as attn_mod
+
+        # observe the hybrid actually engaging (wedge fwd with a capped
+        # block, loop bwd untouched)
+        calls = {}
+        orig = attn_mod._wedge_forward
+
+        def spy(*a, **kw):
+            calls["max_block"] = kw.get("max_block")
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(attn_mod, "_wedge_forward", spy)
+
+        b, h, d = 1, 2, 128
+        ks = jax.random.split(jax.random.PRNGKey(21), 4)
+        q, k, v = (jax.random.normal(kk, (b, h, seq, d)).astype(jnp.bfloat16)
+                   for kk in ks[:3])
+        g = jax.random.normal(ks[3], (b, h, seq, d), jnp.float32)
+
+        ref = attention_reference(q, k, v, causal=True, window=window)
+        out = causal_attention(
+            q, k, v, window=window, use_pallas=True, interpret=True
+        )
+        s128 = -(-seq // 128) * 128
+        assert calls["max_block"] == attn_mod._wedge_long_cap(s128) == 512
+        assert attn_mod._wedge_layout(seq, 2, 512)[2] >= 3  # multi-call
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            atol=2e-2,
+        )
+
+        def loss_pallas(q_, k_, v_):
+            return (causal_attention(
+                q_, k_, v_, window=window, use_pallas=True, interpret=True
+            ).astype(jnp.float32) * g).sum()
+
+        def loss_ref(q_, k_, v_):
+            return (attention_reference(
+                q_, k_, v_, causal=True, window=window
+            ).astype(jnp.float32) * g).sum()
+
+        gf = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a_, b_ in zip(gf, gr):
+            np.testing.assert_allclose(
+                np.asarray(a_, np.float32), np.asarray(b_, np.float32),
+                atol=5e-2,
+            )
+
+    def test_fp32_falls_through_to_loop(self, monkeypatch):
+        from dalle_mtf_tpu.ops import attention as attn_mod
+
+        def boom(*a, **kw):
+            raise AssertionError("wedge fwd must not run for fp32 hybrid")
+
+        monkeypatch.setattr(attn_mod, "_wedge_forward", boom)
+        b, h, seq, d = 1, 1, 256, 128
+        ks = jax.random.split(jax.random.PRNGKey(3), 3)
+        q, k, v = (jax.random.normal(kk, (b, h, seq, d), jnp.float32)
+                   for kk in ks)
+        out = causal_attention(q, k, v, use_pallas=True, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out),
+            np.asarray(attention_reference(q, k, v, causal=True)),
+            atol=2e-5,
+        )
+
+    def test_bwd_block_fallback_divides_fwd_padding(self):
+        from dalle_mtf_tpu.ops import attention as attn_mod
+
+        # bwd default 640 does not divide the wedge's padded 768 -> the
+        # backward must fall back to a dividing block instead of crashing
+        b, h, seq, d = 1, 1, 640, 128
+        ks = jax.random.split(jax.random.PRNGKey(7), 4)
+        q, k, v = (jax.random.normal(kk, (b, h, seq, d)).astype(jnp.bfloat16)
+                   for kk in ks[:3])
+        g = jax.random.normal(ks[3], (b, h, seq, d), jnp.float32)
+        gf = jax.grad(lambda *a: (causal_attention(
+            *a, use_pallas=True, interpret=True).astype(jnp.float32)
+            * g).sum(), argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(lambda *a: (attention_reference(
+            *a, causal=True).astype(jnp.float32) * g).sum(),
+            argnums=(0, 1, 2))(q, k, v)
+        for a_, b_ in zip(gf, gr):
+            np.testing.assert_allclose(
+                np.asarray(a_, np.float32), np.asarray(b_, np.float32),
+                atol=5e-2,
+            )
+
+
 class TestAttentionAutotune:
     """Profile-guided block-size table (autotune_attention.py): the tuned
     cap overrides WEDGE_MAX_BLOCK per (s128, itemsize), the table loads
