@@ -220,11 +220,9 @@ class DiscreteVAE:
             fn = jax.checkpoint(fn)
         return x + fn(x)
 
-    def encoder(self, params, img, train: bool = False) -> jax.Array:
-        """Image [B, H, W, C] in [-1, 1] -> logits [B, h, w, num_tokens].
-
-        Mirrors vae_tf/models.py:81-120 including the fp32 codebook matmul.
-        """
+    def _encode_conv(self, params, img, train: bool = False) -> jax.Array:
+        """Conv trunk of the encoder: image [B, H, W, C] in [-1, 1] ->
+        pre-codebook features [B, h, w, n_hid] (fp32)."""
         cfg = self.cfg
         dtype = cfg.policy.compute_dtype
         x = img.astype(dtype)
@@ -235,12 +233,26 @@ class DiscreteVAE:
             x = _conv(x, blk["down"], 2, dtype)
             for i in range(1, stack):
                 x = self._res_block(blk[f"res_{i}"], x, dtype, train)
-        x = x.astype(jnp.float32)
+        return x.astype(jnp.float32)
+
+    def encoder(self, params, img, train: bool = False) -> jax.Array:
+        """Image [B, H, W, C] in [-1, 1] -> logits [B, h, w, num_tokens].
+
+        Mirrors vae_tf/models.py:81-120 including the fp32 codebook matmul.
+        """
+        x = self._encode_conv(params, img, train)
         logits = jnp.einsum(
             "bhwc,ct->bhwt", x, params["codebook"],
             preferred_element_type=jnp.float32,
         )
         return logits
+
+    def encoder_features(self, params, img) -> jax.Array:
+        """Pooled pre-codebook encoder features [B, n_hid]: the perceptual
+        embedding the eval Fréchet-feature-distance metric compares real
+        and reconstructed images in (tasks.py). Spatial mean over the
+        token grid — the standard pooled-feature form."""
+        return self._encode_conv(params, img, train=False).mean(axis=(1, 2))
 
     # --------------------------------------------------------------- decoder
 

@@ -39,3 +39,26 @@ def softmax_cross_entropy_with_logits(
     if z_loss:
         loss = loss + z_loss * jnp.square(log_z)
     return loss
+
+
+def frechet_feature_distance(
+    feats_a: jax.Array, feats_b: jax.Array, eps: float = 1e-6
+) -> jax.Array:
+    """Diagonal-covariance Fréchet distance between two feature batches.
+
+    feats_*: [N, C] fp32. The FID recipe (Fréchet distance between Gaussian
+    fits of feature distributions) with a DIAGONAL covariance — the form
+    that is well-posed per eval batch (a full CxC covariance needs N >> C)
+    and runs offline with no Inception network (zero egress here): the
+    features come from the VAE's own frozen encoder (encoder_features).
+    Lower is better; identical batches score 0. This is a tracked relative
+    quality signal, not a comparable-to-literature Inception FID.
+
+        d = |mu_a - mu_b|^2 + sum(var_a + var_b - 2*sqrt(var_a*var_b))
+    """
+    fa = feats_a.astype(jnp.float32)
+    fb = feats_b.astype(jnp.float32)
+    mu_a, mu_b = fa.mean(0), fb.mean(0)
+    va, vb = fa.var(0), fb.var(0)
+    cov_term = va + vb - 2.0 * jnp.sqrt(jnp.maximum(va * vb, eps * eps))
+    return jnp.sum(jnp.square(mu_a - mu_b)) + jnp.sum(cov_term)

@@ -44,9 +44,12 @@ def make_vae_task(params: Mapping[str, Any]):
     def eval_loss(p, _frozen, batch, rng, step):
         """Eval with quality metrics beyond MSE (the reference only had a
         loss metric_fn, model_fns_tf.py:80-96): PSNR of the reconstruction
-        (on the [-1, 1] scale, peak = 2) and codebook perplexity —
+        (on the [-1, 1] scale, peak = 2), codebook perplexity —
         exp(entropy) of the hard-token usage distribution, the standard
-        VQ-health signal (collapse shows up as perplexity << num_tokens)."""
+        VQ-health signal (collapse shows up as perplexity << num_tokens) —
+        and an FID-style Fréchet feature distance between real and
+        reconstructed images in the encoder's own pooled feature space
+        (diagonal covariance; losses.py::frechet_feature_distance)."""
         temp = temperature_schedule(params, step)
         loss, recon = vae.forward(
             p, batch["image"], rng, temperature=temp,
@@ -62,9 +65,18 @@ def make_vae_task(params: Mapping[str, Any]):
         ).astype(jnp.float32)
         probs = counts / jnp.maximum(counts.sum(), 1.0)
         entropy = -jnp.sum(jnp.where(probs > 0, probs * jnp.log(probs), 0.0))
+        from dalle_mtf_tpu.ops.losses import (  # noqa: PLC0415
+            frechet_feature_distance,
+        )
+
+        ffd = frechet_feature_distance(
+            vae.encoder_features(p, batch["image"]),
+            vae.encoder_features(p, recon),
+        )
         return loss, {
             "psnr": psnr,
             "codebook_perplexity": jnp.exp(entropy),
+            "frechet_feature_distance": ffd,
         }
 
     return vae, vae.init, train_loss, eval_loss, vae.logical_axes()

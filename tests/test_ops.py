@@ -65,6 +65,22 @@ class TestLosses:
         l1 = softmax_cross_entropy_with_logits(logits, targets, z_loss=1e-2)
         assert float(l1.mean()) > float(l0.mean())
 
+    def test_frechet_feature_distance(self):
+        from dalle_mtf_tpu.ops.losses import frechet_feature_distance
+
+        f = jax.random.normal(jax.random.PRNGKey(0), (64, 16))
+        # identical distributions score ~0 (eps floor only)
+        assert float(frechet_feature_distance(f, f)) < 1e-3
+        # grows monotonically with a mean shift
+        d1 = float(frechet_feature_distance(f, f + 0.5))
+        d2 = float(frechet_feature_distance(f, f + 1.0))
+        assert 0.0 < d1 < d2
+        # mean shift of delta in every dim contributes C * delta^2
+        np.testing.assert_allclose(d1, 16 * 0.25, rtol=1e-4)
+        # and with a variance change
+        d3 = float(frechet_feature_distance(f, f * 2.0))
+        assert d3 > 0.0
+
 
 class TestAttention:
     @pytest.mark.parametrize("seq", [128, 256, 320])

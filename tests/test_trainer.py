@@ -142,9 +142,11 @@ class TestTrainerVAE:
         )
         psnr = float(jax.device_get(metrics["psnr"]))
         perp = float(jax.device_get(metrics["codebook_perplexity"]))
+        ffd = float(jax.device_get(metrics["frechet_feature_distance"]))
         num_tokens = VAE_PARAMS["num_tokens"]
         assert 0.0 < psnr < 60.0, psnr  # untrained: low but finite
         assert 1.0 <= perp <= num_tokens + 1e-3, (perp, num_tokens)
+        assert ffd > 0.0 and np.isfinite(ffd), ffd  # untrained recon != real
         trainer.close()
 
     def test_batch_is_sharded_over_data_axis(self, tmp_path):
