@@ -477,6 +477,19 @@ def set_tune_table(table: dict | None) -> None:
     _TUNE_TABLE = table
 
 
+def load_tune_table(path: str) -> None:
+    """Install the autotune table from an explicit file path — the config
+    key ``attn_tune`` (train_dalle.py / sample_dalle.py / serve_dalle.py);
+    equivalent to pointing DALLE_TPU_ATTN_TUNE at the file, but carried by
+    the model config so tuned deployments need no env plumbing. Unlike the
+    lazy env load, a missing/broken file here raises — a config that names
+    a table expects it."""
+    import json  # noqa: PLC0415
+
+    with open(path) as f:
+        set_tune_table(json.load(f))
+
+
 def _tune_table() -> dict:
     global _TUNE_TABLE
     if _TUNE_TABLE is None:

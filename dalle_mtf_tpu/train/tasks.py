@@ -91,6 +91,13 @@ def make_dalle_task(params: Mapping[str, Any], constrain=None):
     concatenation with the caption tokens (model_fns.py:119).
     ``frozen_params`` passed to the Trainer must be the VAE param tree.
     """
+    # per-chip attention block-size table (autotune_attention.py): the
+    # `attn_tune` config key installs it for every driver that builds a
+    # DALLE task (train/sample/serve) — no env plumbing needed
+    if params.get("attn_tune"):
+        from dalle_mtf_tpu.ops.attention import load_tune_table  # noqa: PLC0415
+
+        load_tune_table(params["attn_tune"])
     vae_cfg = VAEConfig.from_params(params["vae_params"])
     cfg = DalleConfig.from_params(params, vae_cfg.image_seq_len)
     # Hard guard: VAE token ids are offset into [text_vocab, text_vocab +

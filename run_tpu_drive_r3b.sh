@@ -31,6 +31,9 @@ BENCH_VAE_RECOMPUTE=0 BENCH_VAE_BATCH=48 timeout 900 python bench_vae.py 2>&1 | 
 echo "=== vae sweep: remat batch 64 ==="
 BENCH_VAE_RECOMPUTE=1 BENCH_VAE_BATCH=64 timeout 900 python bench_vae.py 2>&1 | tail -1
 
+echo "=== attention S=4352 with the hybrid (was 1.539/5.937 ms pure-loop) ==="
+timeout 900 python bench_attention.py --s 4352 --b 2 2>&1 | tail -3
+
 echo "=== autotune wedge caps (S=1280, 2560) ==="
 timeout 1800 python autotune_attention.py --s 1280 2560 --out runs/attn_tune.json 2>&1 | tail -8
 echo "=== autotune loop blocks (S=4352, dalle_4k) ==="

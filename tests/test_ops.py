@@ -409,6 +409,30 @@ class TestAttentionAutotune:
         attn.set_tune_table(None)
         assert attn._wedge_layout(700) == (384, 768, 2)
 
+    def test_attn_tune_config_key_installs_table(self, tmp_path):
+        import json
+
+        from dalle_mtf_tpu.ops import attention as attn
+        from dalle_mtf_tpu.train.tasks import make_dalle_task
+
+        p = tmp_path / "tune.json"
+        p.write_text(json.dumps({"wedge": {"1280,2": 384}}))
+        params = {
+            "model_type": "dalle", "attn_tune": str(p),
+            "n_embd": 64, "text_vocab_size": 50, "image_vocab_size": 16,
+            "text_seq_len": 8, "n_layers": 1, "n_heads": 2,
+            "vae_params": {
+                "dataset": {"image_size": 32}, "num_tokens": 16,
+                "convblocks": [[1, 8]],
+            },
+        }
+        make_dalle_task(params)
+        assert attn._wedge_layout(1280) == (384, 1536, 4)
+        # a config naming a missing table raises (unlike the lazy env load)
+        attn.set_tune_table(None)
+        with pytest.raises(OSError):
+            make_dalle_task({**params, "attn_tune": str(tmp_path / "no.json")})
+
     def test_broken_table_file_warns_and_falls_back(self, tmp_path, monkeypatch):
         from dalle_mtf_tpu.ops import attention as attn
 
