@@ -41,4 +41,8 @@ timeout 2400 python autotune_attention.py --s 4352 --b 2 --out runs/attn_tune.js
 echo "=== bench.py with tuned caps (if any change) ==="
 DALLE_TPU_ATTN_TUNE=runs/attn_tune.json timeout 900 python bench.py 2>&1 | tail -1
 
+echo "=== bench.py combined: tuned caps + ln_dtype=activation ==="
+DALLE_TPU_ATTN_TUNE=runs/attn_tune.json BENCH_LN_DTYPE=activation \
+  timeout 900 python bench.py 2>&1 | tail -1
+
 echo "=== drive r3b done ==="

@@ -206,6 +206,49 @@ class TestRetry:
             s.close()
 
 
+class TestShardedServing:
+    def test_tp_sharded_sampler_matches_unsharded(self):
+        """The production serving wiring (serve_dalle.py): params sharded
+        over a data x model mesh feed the SAME BatchingSampler, and greedy
+        output is bit-identical to unsharded serving. This is the
+        12B-class TP serving path end-to-end (queue -> compiled sharded
+        executable -> pixels), on the 8-fake-device CPU mesh."""
+        from dalle_mtf_tpu.parallel.mesh import (
+            build_mesh,
+            parse_layout,
+            shard_params,
+        )
+
+        dalle = DALLE(CFG)
+        params = dalle.init(jax.random.PRNGKey(0))
+        vae = DiscreteVAE(VAEConfig.from_params(VAE_PARAMS))
+        vae_params = vae.init(jax.random.PRNGKey(1))
+
+        ref = BatchingSampler(dalle, params, vae, vae_params,
+                              batch_size=2, top_k=0, linger_ms=5.0)
+        try:
+            want = ref.submit([3, 1, 0, 0], n=2, temperature=0.0).result(
+                timeout=240)
+        finally:
+            ref.close()
+
+        mesh = build_mesh("data:4,model:2")
+        rules = parse_layout(
+            "batch_dim:data,heads_dim:model,"
+            "intermediate_expanded:model,vocab_dim:model"
+        )
+        sharded = shard_params(params, mesh, rules, dalle.logical_axes())
+        assert "model" in str(sharded["layers"]["wq"].sharding.spec)
+        s = BatchingSampler(dalle, sharded, vae, vae_params,
+                            batch_size=2, top_k=0, linger_ms=5.0)
+        try:
+            got = s.submit([3, 1, 0, 0], n=2, temperature=0.0).result(
+                timeout=240)
+        finally:
+            s.close()
+        np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
 class TestHoldbackOrdering:
     def test_oversize_request_seeds_next_batch(self):
         """A request that doesn't fit the in-flight batch must be served as
