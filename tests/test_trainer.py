@@ -409,3 +409,67 @@ class TestAuxMetrics:
         acc = float(jax.device_get(em["acc"]))
         assert 0.0 <= acc <= 1.0
         trainer.close()
+
+
+class TestPredictEveryCheckpoint:
+    def test_predict_hook_writes_images(self, tmp_path):
+        """predict_steps > 0 samples golden-caption images at every
+        checkpoint (the surface the reference left as NotImplementedError,
+        reference train_dalle.py:88-89): PNGs + prompts land under
+        <model_path>/predict/step_<N>/ and TB gets the grids."""
+        import glob
+
+        from dalle_mtf_tpu.models.vae import DiscreteVAE, VAEConfig
+        from dalle_mtf_tpu.train.predict import make_predict_summary_fn
+
+        params = Config.from_mapping(
+            {
+                **{k: DALLE_PARAMS[k] for k in (
+                    "config_name", "model_type", "dataset", "n_embd",
+                    "text_vocab_size", "image_vocab_size", "text_seq_len",
+                    "n_layers", "n_heads", "train_batch_size", "lr",
+                    "warmup_steps", "mesh_shape", "layout", "vae_params",
+                )},
+                "train_steps": 2,
+                "steps_per_checkpoint": 2,
+                "predict_steps": 1,
+                "predict_batch_size": 2,
+                "predict_top_k": 8,
+                "model_path": str(tmp_path / "m"),
+            }
+        )
+        vae_cfg = VAEConfig.from_params(params["vae_params"])
+        vae = DiscreteVAE(vae_cfg)
+        vae_params = vae.init(jax.random.PRNGKey(7))
+        dalle, _v, init_fn, loss_fn, eval_fn, axes = make_dalle_task(params)
+        trainer = Trainer(
+            params, init_fn, loss_fn, axes,
+            model_dir=params["model_path"], seq_len=dalle.cfg.total_seq_len,
+            frozen_params=vae_params, eval_loss_fn=eval_fn,
+        )
+        predict_fn = make_predict_summary_fn(
+            params, dalle, vae, vae_params, data_iter=_dalle_batches()
+        )
+        assert predict_fn is not None
+        trainer.run(
+            _dalle_batches(), jax.random.PRNGKey(0), summary_fn=predict_fn
+        )
+        trainer.close()
+        pngs = sorted(
+            glob.glob(str(tmp_path / "m" / "predict" / "step_*" / "*.png"))
+        )
+        assert len(pngs) == 2, pngs  # predict_batch_size rows, 1 batch
+        prompts = glob.glob(
+            str(tmp_path / "m" / "predict" / "step_*" / "prompts.txt")
+        )
+        assert len(prompts) == 1
+
+    def test_hook_absent_without_predict_steps(self):
+        from dalle_mtf_tpu.train.predict import make_predict_summary_fn
+
+        assert (
+            make_predict_summary_fn(
+                DALLE_PARAMS, None, None, None, data_iter=iter(())
+            )
+            is None
+        )

@@ -123,13 +123,30 @@ def main():
     eval_steps = params.get("eval_steps") or 0
     eval_iter = iter(dalle_input_fn(params, eval=True)) if eval_steps else None
 
+    # predict_steps > 0: sample golden-caption images at every checkpoint
+    # (the reference stopped training for this and then raised
+    # NotImplementedError, train_dalle.py:80-89)
+    from dalle_mtf_tpu.train.predict import make_predict_summary_fn
+
+    predict_fn = None
+    if params.get("predict_steps"):
+        predict_fn = make_predict_summary_fn(
+            params, dalle, vae, vae_params,
+            data_iter=(
+                iter(dalle_input_fn(params, eval=True))
+                if params["dataset"].get("eval_path")
+                else train_iter
+            ),
+            tokenizer=tokenizer,
+        )
+
     logger.info(
         "starting DALLE training: %s (total_seq_len=%d, image_seq_len=%d)",
         params["config_name"], dalle.cfg.total_seq_len, dalle.cfg.image_seq_len,
     )
     trainer.run(
         train_iter, jax.random.PRNGKey(params.get("seed") or 0),
-        eval_data_iter=eval_iter,
+        eval_data_iter=eval_iter, summary_fn=predict_fn,
     )
     trainer.close()
 
