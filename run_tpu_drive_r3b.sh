@@ -45,4 +45,12 @@ echo "=== bench.py combined: tuned caps + ln_dtype=activation ==="
 DALLE_TPU_ATTN_TUNE=runs/attn_tune.json BENCH_LN_DTYPE=activation \
   timeout 900 python bench.py 2>&1 | tail -1
 
+echo "=== predict-hook artifacts from the dalle_long smoke stage ==="
+ls runs/dalle_long/predict/*/ 2>&1 | head -6
+
+echo "=== serve under load: int4, device batch 4, 24 requests ==="
+timeout 2400 python bench_serve.py 2>&1 | tail -1
+echo "=== serve under load: int4, device batch 8 ==="
+BENCH_SERVE_BATCH=8 BENCH_SERVE_REQUESTS=32 timeout 2400 python bench_serve.py 2>&1 | tail -1
+
 echo "=== drive r3b done ==="
