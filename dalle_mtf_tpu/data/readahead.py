@@ -33,20 +33,26 @@ def prefetch_iter(source: Iterator[Any], depth: int = 64) -> Iterator[Any]:
     q: queue.Queue = queue.Queue(maxsize=max(1, depth))
     stop = threading.Event()
 
+    def _put(item) -> bool:
+        """Bounded put that honors ``stop`` — every producer-side put must
+        go through this, or an abandoned consumer (full queue, nobody
+        draining) would pin the thread and its buffer forever."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def run() -> None:
         try:
             for item in source:
-                while not stop.is_set():
-                    try:
-                        q.put(item, timeout=0.5)
-                        break
-                    except queue.Full:
-                        continue
-                if stop.is_set():
+                if not _put(item):
                     return
-            q.put(_SENTINEL)
+            _put(_SENTINEL)
         except BaseException as e:  # propagate to the consumer
-            q.put(e)
+            _put(e)
 
     t = threading.Thread(target=run, daemon=True, name="readahead")
     t.start()

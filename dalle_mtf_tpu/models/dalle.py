@@ -802,9 +802,14 @@ class DALLE:
             # study). forward() keeps its public fp32-logits contract for
             # eval/sampling parity checks.
             x = self.hidden(params, tokens, rng, train, constrain)
+            # bias add in the activation dtype too — the fp32 b_out would
+            # otherwise promote the materialized [B, S, V] tensor right
+            # back to fp32, undoing the halved HBM passes (and the
+            # reference's to_logits bias add runs in the activation dtype,
+            # models.py:391-395)
             logits = jnp.einsum(
                 "bse,ev->bsv", x, self._w_out(params)
-            ) + params["b_out"]
+            ) + params["b_out"].astype(x.dtype)
             loss_batch = softmax_cross_entropy_with_logits(logits, labels, z_loss)
         return loss_batch.mean(), loss_batch
 

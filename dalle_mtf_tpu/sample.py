@@ -43,11 +43,14 @@ def _sample_token(rng, logits, temperature, top_k: int):
         # sampling.
         vals, idxs = jax.lax.approx_max_k(logits, top_k, recall_target=0.99)
         choice = jax.random.categorical(rng, vals / safe, axis=-1)
-        greedy_c = jnp.argmax(vals, axis=-1)
-        choice = jnp.where(temp[:, 0] <= 0.0, greedy_c, choice)
-        return jnp.take_along_axis(idxs, choice[..., None], axis=-1)[..., 0].astype(
-            jnp.int32
-        )
+        tok = jnp.take_along_axis(idxs, choice[..., None], axis=-1)[..., 0]
+        # greedy rows (temp <= 0) take the EXACT full-vocab argmax, not the
+        # argmax of the approx candidate set: greedy means "the" argmax
+        # sequence, and a ~1% per-step recall miss over 1024 steps would
+        # silently diverge it from the top_k=0 greedy path (a full argmax
+        # is one max-reduce, nothing like top_k's sort cost)
+        greedy_c = jnp.argmax(logits, axis=-1)
+        return jnp.where(temp[:, 0] <= 0.0, greedy_c, tok).astype(jnp.int32)
     sampled = jax.random.categorical(rng, logits / safe, axis=-1)
     greedy = jnp.argmax(logits, axis=-1)
     return jnp.where(temp[:, 0] <= 0.0, greedy, sampled).astype(jnp.int32)

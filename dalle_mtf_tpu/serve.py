@@ -74,6 +74,11 @@ class BatchingSampler:
         self._generate = generate_images
         self._rng = jax.random.PRNGKey(seed)
         self._batch_counter = 0
+        # buckets whose executable has completed at least once: only those
+        # are retried on failure — a first-call failure is a deterministic
+        # compile/OOM error, and re-running it would double a multi-minute
+        # compile before surfacing the same error
+        self._proven_buckets: set[int] = set()
         self._q: queue.Queue = queue.Queue()
         self._closed = False
         self._submit_lock = threading.Lock()
@@ -95,6 +100,16 @@ class BatchingSampler:
         for b in self.top_k_buckets:
             if b >= k > 0 and b > 0:
                 return b
+        # k above every bucket: honor the round-UP contract by dropping the
+        # truncation entirely (bucket 0 = full vocab, a strictly WIDER pool
+        # than asked for); falling back to the largest bucket would silently
+        # serve a narrower pool than requested
+        if 0 in self.top_k_buckets:
+            logger.warning(
+                "top_k=%d above every bucket %s; serving untruncated",
+                k, self.top_k_buckets,
+            )
+            return 0
         return max(self.top_k_buckets)
 
     def submit(self, text_tokens, n: int = 1, temperature=None,
@@ -195,7 +210,8 @@ class BatchingSampler:
             t0 = time.perf_counter()
             err = None
             imgs = None
-            for attempt in range(1 + self.max_retries):
+            retries = self.max_retries if bucket in self._proven_buckets else 0
+            for attempt in range(1 + retries):
                 try:
                     imgs = self._generate(
                         self.dalle, self._params[0], self.vae,
@@ -203,11 +219,16 @@ class BatchingSampler:
                         temperature=jnp.asarray(temps), top_k=bucket,
                     )
                     imgs = np.asarray(jax.device_get(imgs))
+                    self._proven_buckets.add(bucket)
                     err = None
                     break
-                except Exception as e:  # retry once: transient runtime blips
+                except Exception as e:
+                    # retry covers transient runtime blips on a PROVEN
+                    # executable; a bucket that has never succeeded fails
+                    # fast (its error is deterministic — compile/OOM —
+                    # and a retry would just repeat the compile)
                     err = e
-                    if attempt < self.max_retries:
+                    if attempt < retries:
                         logger.warning(
                             "batch failed (attempt %d), retrying: %s",
                             attempt + 1, e,

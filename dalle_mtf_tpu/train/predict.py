@@ -91,6 +91,9 @@ def make_predict_summary_fn(
 
     def summary_fn(trainer, state, step):
         out_dir = os.path.join(model_path, "predict", f"step_{step:07d}")
+        if "://" not in out_dir:
+            os.makedirs(out_dir, exist_ok=True)  # prompts.txt needs it even
+            # when PIL is unavailable and _save_pngs writes nothing
         for i, text in enumerate(captions):
             imgs = _gen(
                 state["params"], vae_params, jnp.asarray(text),

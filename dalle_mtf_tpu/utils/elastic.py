@@ -67,13 +67,73 @@ class FileRoster:
                     out.append(h)
         return sorted(out)
 
+    # ------------------------------------------------- shared launch epoch
+    # The coordinator port must be derived from state every host AGREES on.
+    # A local restart counter diverges (one host can crash-and-relaunch
+    # more times than its peers, or a replacement joins at 0), after which
+    # the hosts dial different ports and the world can never form. The
+    # roster directory already is the shared medium, so the launch epoch
+    # lives there too: the coordinator host's supervisor bumps it before
+    # every launch; everyone else waits for a value they haven't used yet.
+
+    def epoch(self) -> int:
+        try:
+            with open(os.path.join(self.dir, "epoch")) as f:
+                return int(f.read().strip() or 0)
+        except (FileNotFoundError, ValueError):
+            return 0
+
+    def bump_epoch(self) -> int:
+        ep = self.epoch() + 1
+        tmp = os.path.join(self.dir, f".epoch.{self.host_id}.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(ep))
+        os.replace(tmp, os.path.join(self.dir, "epoch"))
+        return ep
+
+
+def make_epoch_source(
+    roster: FileRoster,
+    host_id: str,
+    coordinator_host: str | None = None,
+    wait_timeout_s: float = 60.0,
+) -> Callable[[list[str]], int]:
+    """Shared-epoch source for ElasticSupervisor: the coordinator host's
+    supervisor bumps the roster epoch before each launch; every other host
+    waits (up to ``wait_timeout_s``) for an epoch it hasn't used yet.
+    Convergence: any worker death fatals the whole world (see module
+    docstring), so every supervisor relaunches and the coordinator's bump
+    arrives within its backoff. The timeout fallback returns the current
+    epoch so a lone spurious restart degrades to a failed initialize (and
+    another loop) rather than a hang."""
+    last_used: list[int | None] = [None]
+
+    def epoch(hosts: list[str]) -> int:
+        bumper = (coordinator_host or hosts[0]) == host_id
+        if bumper:
+            ep = roster.bump_epoch()
+        else:
+            deadline = time.time() + wait_timeout_s
+            ep = roster.epoch()
+            while (ep == last_used[0] or ep == 0) and time.time() < deadline:
+                time.sleep(0.5)
+                ep = roster.epoch()
+        last_used[0] = ep
+        return ep
+
+    return epoch
+
 
 class ElasticSupervisor:
     """Launch-and-relaunch one host's training process as the world resizes.
 
     cmd: the training command (argv list). roster: () -> sorted live host
-    ids. coordinator: (hosts, attempt) -> "host:port" for the world's
-    process 0 (attempt lets restarts move ports past TIME_WAIT).
+    ids. coordinator: (hosts, epoch) -> "host:port" for the world's
+    process 0 (the epoch moves restart ports past TIME_WAIT). epoch:
+    (hosts) -> shared launch epoch — use ``make_epoch_source`` so every
+    host derives the SAME value from the roster; the default (the local
+    attempt counter) is only safe when restarts cannot desynchronize
+    (single remaining host, or tests that restart all hosts together).
     """
 
     def __init__(
@@ -85,6 +145,7 @@ class ElasticSupervisor:
         max_restarts: int = 16,
         backoff_s: float = 2.0,
         env: dict | None = None,
+        epoch: Callable[[list[str]], int] | None = None,
     ):
         self.cmd = list(cmd)
         self.host_id = host_id
@@ -93,6 +154,7 @@ class ElasticSupervisor:
         self.max_restarts = max_restarts
         self.backoff_s = backoff_s
         self.env = dict(env) if env else dict(os.environ)
+        self.epoch = epoch
 
     def _world_env(self, attempt: int) -> dict | None:
         hosts = self.roster()
@@ -103,7 +165,8 @@ class ElasticSupervisor:
         env["JAX_NUM_PROCESSES"] = str(n)
         env["JAX_PROCESS_ID"] = str(hosts.index(self.host_id))
         if n > 1:
-            env["JAX_COORDINATOR_ADDRESS"] = self.coordinator(hosts, attempt)
+            ep = self.epoch(hosts) if self.epoch is not None else attempt
+            env["JAX_COORDINATOR_ADDRESS"] = self.coordinator(hosts, ep)
         else:
             # single-host world: run without a distributed runtime at all
             env.pop("JAX_COORDINATOR_ADDRESS", None)
@@ -164,14 +227,17 @@ def main(argv: list[str] | None = None) -> int:
     roster = FileRoster(args.roster_dir, args.host_id)
     roster.join()
 
-    def coordinator(hosts: list[str], attempt: int) -> str:
+    def coordinator(hosts: list[str], epoch: int) -> str:
         host = args.coordinator_host or hosts[0]
-        return f"{host}:{args.port + attempt}"
+        return f"{host}:{args.port + epoch % 64}"
 
     try:
         return ElasticSupervisor(
             cmd, args.host_id, roster.hosts, coordinator,
             max_restarts=args.max_restarts,
+            epoch=make_epoch_source(
+                roster, args.host_id, args.coordinator_host
+            ),
         ).run()
     finally:
         roster.leave()

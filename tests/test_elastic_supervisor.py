@@ -58,8 +58,36 @@ def _golden(tmp_path):
     return json.loads(line[len("RESULT "):])
 
 
+def test_shared_epoch_agrees_across_desynced_restarts(tmp_path):
+    """Hosts whose restart counts diverge must still derive the SAME
+    coordinator address: the launch epoch is shared roster state bumped by
+    the coordinator host, not a local attempt counter."""
+    from dalle_mtf_tpu.utils.elastic import FileRoster, make_epoch_source
+
+    ra = FileRoster(str(tmp_path), "a")
+    rb = FileRoster(str(tmp_path), "b")
+    ra.join(), rb.join()
+    hosts = ra.hosts()
+    ep_a = make_epoch_source(ra, "a", wait_timeout_s=5.0)
+    ep_b = make_epoch_source(rb, "b", wait_timeout_s=5.0)
+
+    # launch 1: a (coordinator) bumps, b reads the same value
+    assert ep_a(hosts) == 1
+    assert ep_b(hosts) == 1
+    # a's child crashes twice alone (two extra local attempts) while b is
+    # still on its first launch: a bumps 2 then 3 — when b finally
+    # relaunches it must land on 3, not its local attempt count (1)
+    assert ep_a(hosts) == 2
+    assert ep_a(hosts) == 3
+    assert ep_b(hosts) == 3
+
+
 def test_worker_kill_survivor_resumes_golden_trajectory(tmp_path):
-    from dalle_mtf_tpu.utils.elastic import ElasticSupervisor, FileRoster
+    from dalle_mtf_tpu.utils.elastic import (
+        ElasticSupervisor,
+        FileRoster,
+        make_epoch_source,
+    )
 
     model_dir = tmp_path / "model"
     roster_dir = tmp_path / "roster"
@@ -69,8 +97,8 @@ def test_worker_kill_survivor_resumes_golden_trajectory(tmp_path):
     for r in rosters.values():
         r.join()
 
-    def coordinator(hosts, attempt):
-        return f"localhost:{port + attempt}"
+    def coordinator(hosts, epoch):
+        return f"localhost:{port + epoch % 64}"
 
     rcs = {}
 
@@ -81,6 +109,7 @@ def test_worker_kill_survivor_resumes_golden_trajectory(tmp_path):
         sup = ElasticSupervisor(
             [sys.executable, WORKER], host, rosters[host].hosts, coordinator,
             max_restarts=3, backoff_s=1.0, env=env,
+            epoch=make_epoch_source(rosters[host], host, wait_timeout_s=30.0),
         )
         rcs[host] = sup.run()
 

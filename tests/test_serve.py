@@ -160,8 +160,10 @@ class TestPerRequestParams:
 
 class TestRetry:
     def test_midbatch_failure_retried_once(self):
-        """A transient device-call failure must be retried before failing
-        the batch's waiters."""
+        """A transient device-call failure on a PROVEN executable must be
+        retried before failing the batch's waiters. (An unproven bucket's
+        first-call failure is deterministic — compile/OOM — and fails
+        fast; see test_first_call_failure_not_retried.)"""
         dalle = DALLE(CFG)
         vae = DiscreteVAE(VAEConfig.from_params(VAE_PARAMS))
         s = BatchingSampler(
@@ -174,15 +176,43 @@ class TestRetry:
 
         def flaky(*a, **kw):
             calls["n"] += 1
-            if calls["n"] == 1:
+            if calls["n"] == 2:
                 raise RuntimeError("transient runtime blip")
             return real(*a, **kw)
 
         s._generate = flaky
         try:
+            # call 1 proves the bucket's executable
+            s.submit([1, 0, 0, 0], n=1).result(timeout=240)
+            # call 2 fails transiently -> retried as call 3
             imgs = s.submit([1, 0, 0, 0], n=1).result(timeout=240)
             assert imgs.shape == (1, 8, 8, 3)
-            assert calls["n"] == 2  # failed once, retried, succeeded
+            assert calls["n"] == 3  # proven, failed once, retried
+        finally:
+            s.close()
+
+    def test_first_call_failure_not_retried(self):
+        """A bucket that has never succeeded fails FAST: retrying a
+        deterministic compile/OOM error would double a multi-minute
+        compile before surfacing the same failure."""
+        dalle = DALLE(CFG)
+        vae = DiscreteVAE(VAEConfig.from_params(VAE_PARAMS))
+        s = BatchingSampler(
+            dalle, dalle.init(jax.random.PRNGKey(0)),
+            vae, vae.init(jax.random.PRNGKey(1)),
+            batch_size=2, top_k=4, linger_ms=5.0,
+        )
+        calls = {"n": 0}
+
+        def broken(*a, **kw):
+            calls["n"] += 1
+            raise RuntimeError("deterministic compile error")
+
+        s._generate = broken
+        try:
+            with pytest.raises(RuntimeError, match="deterministic"):
+                s.submit([1, 0, 0, 0], n=1).result(timeout=120)
+            assert calls["n"] == 1  # no retry on an unproven bucket
         finally:
             s.close()
 
