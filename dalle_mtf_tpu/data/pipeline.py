@@ -40,6 +40,8 @@ from dalle_mtf_tpu.data.native import read_tfrecord_file
 
 logger = logging.getLogger(__name__)
 
+_SKIP_END = object()  # "record stream ended inside the resume prefix"
+
 
 def list_files(pattern: str) -> list[str]:
     """Glob local paths or remote URLs (gs:// etc. via fsspec — fs.py)."""
@@ -89,6 +91,7 @@ class _Pipeline:
         repeat: bool = True,
         cycle_length: int = 4,
         native_decode: Mapping[str, Any] | None = None,
+        skip_samples: int = 0,
     ):
         if not files:
             raise FileNotFoundError("input pipeline got an empty file list")
@@ -109,6 +112,9 @@ class _Pipeline:
         # input_fns.py:87-92): round-robin over N concurrently-open files so
         # a shuffle window sees examples from several shards, not one
         self.cycle_length = max(1, cycle_length)
+        # deterministic resume: reproduce the stream from sample position
+        # skip_samples onward without decoding the prefix (see _shuffled)
+        self.skip_samples = max(0, int(skip_samples))
 
     def _interleaved(self, files: list[str]) -> Iterator[Any]:
         """Round-robin one record at a time across cycle_length open files;
@@ -174,17 +180,19 @@ class _Pipeline:
             if not self.repeat:
                 return
 
-    def _samples(self) -> Iterator[dict]:
+    def _samples(self, records: Iterator[Any] | None = None) -> Iterator[dict]:
         """Parallel parse with bounded in-flight window (keeps order cheap).
 
         Standard tfrecord samples take the C++ parse+decode pool (proto walk
         + fused jpeg decode off the GIL entirely); otherwise a Python thread
         pool around parse_fn (the decode C call still drops the GIL)."""
+        if records is None:
+            records = self._records()
         if self.native_decode is not None:
             from dalle_mtf_tpu.data import native  # noqa: PLC0415
 
             g = native.decode_pool_samples(
-                self._records(), workers=self.num_workers,
+                records, workers=self.num_workers,
                 **self.native_decode,
             )
             if g is not None:
@@ -192,7 +200,6 @@ class _Pipeline:
                 return
         with ThreadPoolExecutor(self.num_workers) as pool:
             in_flight: queue.Queue = queue.Queue()
-            records = self._records()
             try:
                 for _ in range(self.num_workers * 2):
                     in_flight.put(pool.submit(self.parse_fn, next(records)))
@@ -208,14 +215,87 @@ class _Pipeline:
                 if sample is not None:
                     yield sample
 
+    def _resume_plan(
+        self, n: int, buf_size: int, rng: random.Random
+    ) -> tuple[list[int], int]:
+        """Replay the shuffle arithmetic on record INDICES to find the state
+        after ``n`` yields: returns (buffer contents as record indices, in
+        list order; total records consumed). The sample-shuffle's decisions
+        depend only on the rng stream and element counts — never on sample
+        contents — so the prefix can be replayed without touching a byte of
+        data. ``rng`` is advanced in place to the post-prefix state."""
+        buf: list[int] = []
+        idx = 0
+        yielded = 0
+        while yielded < n:
+            buf.append(idx)
+            idx += 1
+            if len(buf) >= buf_size:
+                i = rng.randrange(len(buf))
+                buf[i], buf[-1] = buf[-1], buf[i]
+                buf.pop()
+                yielded += 1
+        return buf, idx
+
+    def _records_skipping(
+        self, keep: set[int], consumed: int
+    ) -> Iterator[Any]:
+        """The record stream minus the already-yielded prefix: records with
+        index < ``consumed`` are skipped (I/O only — no parse, no jpeg
+        decode) unless their index is in ``keep`` (the shuffle buffer's
+        surviving contents, <= 5x batch of them)."""
+        for i, rec in enumerate(self._records()):
+            if i >= consumed or i in keep:
+                yield rec
+
     def _shuffled(self) -> Iterator[dict]:
+        """Shuffle-buffer sample stream; on resume (skip_samples > 0) it
+        reproduces the stream from that position EXACTLY.
+
+        The reference restarted its tf.data pipeline from scratch on every
+        crash-resume (same seed -> the model re-trains on the stream's
+        prefix; input_fns.py has no iterator state). Here resume replays the
+        shuffle decisions on indices (_resume_plan), skips the prefix's
+        records at the raw-record level, decodes only the <= 5x-batch
+        records still sitting in the shuffle buffer, and continues with the
+        advanced rng — byte-identical to an uninterrupted run, at I/O cost
+        only. (Exactness assumes records parse 1:1 to samples; a corrupt
+        record that parse_fn drops shifts alignment by one.)"""
         if not self.shuffle:
-            yield from self._samples()
+            records = self._records()
+            if self.skip_samples:
+                for _ in range(self.skip_samples):
+                    if next(records, _SKIP_END) is _SKIP_END:
+                        return
+            yield from self._samples(records)
             return
         buf_size = self.batch_size * 5  # configure_for_performance (:26)
         rng = random.Random(self.seed + 1)
         buf: list = []
-        for sample in self._samples():
+        if self.skip_samples:
+            buf_idx, consumed = self._resume_plan(
+                self.skip_samples, buf_size, rng
+            )
+            logger.info(
+                "data resume: skipping %d samples (%d records read-through, "
+                "%d shuffle-buffer residents re-decoded)",
+                self.skip_samples, consumed, len(buf_idx),
+            )
+            samples = self._samples(
+                self._records_skipping(set(buf_idx), consumed)
+            )
+            # the first len(buf_idx) surviving samples arrive in record
+            # order; the buffer's list order is the swap-permuted one
+            arrived = {}
+            try:
+                for i in sorted(buf_idx):
+                    arrived[i] = next(samples)
+            except StopIteration:
+                return  # stream shorter than the resume point
+            buf = [arrived[i] for i in buf_idx]
+        else:
+            samples = self._samples()
+        for sample in samples:
             buf.append(sample)
             if len(buf) >= buf_size:
                 i = rng.randrange(len(buf))
@@ -295,10 +375,14 @@ def vae_input_fn(
     eval: bool = False,
     shard: tuple[int, int] | None = None,
     repeat: bool = True,
+    skip_steps: int = 0,
 ) -> _Pipeline:
     """Image batches for VAE training (input_fns.py:69-104).
 
     tfrecords mode when dataset.tfrecords is set, else a raw jpg glob.
+    ``skip_steps``: resume point — skip that many already-trained batches
+    of this host's stream without decoding them (exact; see
+    _Pipeline._shuffled).
     """
     ds = params["dataset"]
     path = ds["eval_path"] if eval else ds["train_path"]
@@ -307,6 +391,7 @@ def vae_input_fn(
     shard = _resolve_shard(shard)
     batch = _host_batch(params["eval_batch_size" if eval else "train_batch_size"], shard)
     files = _shard_files(list_files(path), shard)
+    skip = skip_steps * batch
 
     if ds.get("tfrecords"):
         def parse(record: bytes) -> dict:
@@ -315,7 +400,7 @@ def vae_input_fn(
 
         return _Pipeline(
             files, read_tfrecord_file, parse, batch,
-            shuffle=not eval, repeat=repeat,
+            shuffle=not eval, repeat=repeat, skip_samples=skip,
             native_decode={
                 "size": size, "channels": channels,
                 "text_len": 0, "padding_id": 0,
@@ -330,7 +415,8 @@ def vae_input_fn(
             return {"image": decode_img(f.read(), size, channels)}
 
     return _Pipeline(
-        files, read_file, parse_path, batch, shuffle=not eval, repeat=repeat
+        files, read_file, parse_path, batch, shuffle=not eval, repeat=repeat,
+        skip_samples=skip,
     )
 
 
@@ -339,8 +425,12 @@ def dalle_input_fn(
     eval: bool = False,
     shard: tuple[int, int] | None = None,
     repeat: bool = True,
+    skip_steps: int = 0,
 ) -> _Pipeline:
-    """(image, caption) batches for DALLE training (input_fns.py:106-120)."""
+    """(image, caption) batches for DALLE training (input_fns.py:106-120).
+
+    ``skip_steps``: resume point — skip that many already-trained batches
+    without decoding them (exact; see _Pipeline._shuffled)."""
     ds = params["dataset"]
     path = ds["eval_path"] if eval else ds["train_path"]
     size = ds["image_size"]
@@ -364,6 +454,7 @@ def dalle_input_fn(
 
     return _Pipeline(
         files, read_tfrecord_file, parse, batch, shuffle=not eval, repeat=repeat,
+        skip_samples=skip_steps * batch,
         native_decode={
             "size": size, "channels": channels,
             "text_len": text_seq_len, "padding_id": padding_id,

@@ -50,6 +50,43 @@ def maybe_initialize_distributed():
     return False
 
 
+def maybe_enable_compilation_cache(params) -> str | None:
+    """Point XLA's persistent compilation cache at a durable directory.
+
+    On by default (set ``"compilation_cache": false`` to disable;
+    ``"compilation_cache_dir"`` overrides the location). The reference's
+    TPUEstimator recompiled the full program on every process start — at
+    12B scale that is minutes of XLA work repeated on every crash-resume
+    and every elastic-supervisor relaunch (utils/elastic.py), where the
+    program being compiled is byte-identical. The cache is keyed on the
+    serialized HLO + compile options + backend version, so config or
+    topology changes miss safely and recompile.
+
+    Returns the cache dir when enabled, else None.
+    """
+    import jax
+
+    if params.get("compilation_cache") is False:
+        return None
+    cache_dir = params.get("compilation_cache_dir") or os.path.join(
+        os.path.expanduser("~"), ".cache", "dalle_mtf_tpu", "xla_cache"
+    )
+    if "://" not in cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # default min-compile-time gate (1s) would skip exactly the smoke
+        # and unit-test compiles that prove the cache works; the big train
+        # step programs clear any threshold, so cache everything
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception as e:  # pragma: no cover - older jax without the flags
+        logger.warning("compilation cache unavailable: %s", e)
+        return None
+    logger.info("persistent XLA compilation cache at %s", cache_dir)
+    return cache_dir
+
+
 def maybe_start_profiler_server(params) -> bool:
     """Start the jax profiler server when ``profiler_port`` is configured.
 

@@ -53,6 +53,9 @@ def parse_args():
 def main():
     args = parse_args()
     params = fetch_model_params(args.model)
+    from dalle_mtf_tpu.utils.distributed import maybe_enable_compilation_cache
+
+    maybe_enable_compilation_cache(params)
     assert params["model_type"] == "dalle"
     setup_logging(params["config_name"] or args.model)
 

@@ -491,3 +491,67 @@ class TestReadahead:
 
         assert got == want
         assert sorted(got) == list(range(idx))
+
+
+class TestResumeSkip:
+    """Deterministic data resume: ``skip_steps=k`` reproduces the batch
+    stream from position k exactly — byte-identical to an uninterrupted
+    run — while the skipped prefix is never parsed or jpeg-decoded. The
+    reference restarted its tf.data pipeline from the top on crash-resume
+    (same seed: the model re-trained on the prefix; input_fns.py keeps no
+    iterator state)."""
+
+    def _params(self, tmp_path, n=24, batch=4):
+        img_dir = _make_dataset(tmp_path, n=n)
+        jsonl = create_random_dataset(
+            str(img_dir / "*.jpg"), str(tmp_path / "d"), words_per_caption=4
+        )
+        create_paired_dataset(
+            jsonl, "t", str(tmp_path / "rec"),
+            examples_per_file=6, tokenizer=ByteTokenizer(),
+        )
+        return Config.from_mapping(
+            {
+                "dataset": {
+                    "train_path": str(tmp_path / "rec" / "*.tfrecords"),
+                    "eval_path": str(tmp_path / "rec" / "*.tfrecords"),
+                    "image_size": 8,
+                },
+                "train_batch_size": batch,
+                "eval_batch_size": batch,
+                "text_seq_len": 8,
+                "padding_id": 50257,
+            }
+        )
+
+    def test_shuffled_skip_matches_uninterrupted_stream(self, tmp_path):
+        params = self._params(tmp_path)
+        fresh = iter(dalle_input_fn(params, shard=(0, 1)))
+        want = [next(fresh) for _ in range(9)]
+        # k=7 skips 28 samples > the 24-record epoch: covers epoch wrap
+        for k in (1, 3, 7):
+            resumed = iter(dalle_input_fn(params, shard=(0, 1), skip_steps=k))
+            for j in range(k, 9):
+                got = next(resumed)
+                np.testing.assert_array_equal(
+                    got["caption"], want[j]["caption"]
+                )
+                np.testing.assert_array_equal(got["image"], want[j]["image"])
+
+    def test_unshuffled_skip_exact(self, tmp_path):
+        params = self._params(tmp_path)
+        fresh = iter(dalle_input_fn(params, eval=True, shard=(0, 1)))
+        want = [next(fresh) for _ in range(6)]
+        resumed = iter(
+            dalle_input_fn(params, eval=True, shard=(0, 1), skip_steps=4)
+        )
+        for j in range(4, 6):
+            got = next(resumed)
+            np.testing.assert_array_equal(got["caption"], want[j]["caption"])
+            np.testing.assert_array_equal(got["image"], want[j]["image"])
+
+    def test_skip_zero_is_identity(self, tmp_path):
+        params = self._params(tmp_path)
+        a = next(iter(dalle_input_fn(params, shard=(0, 1))))
+        b = next(iter(dalle_input_fn(params, shard=(0, 1), skip_steps=0)))
+        np.testing.assert_array_equal(a["caption"], b["caption"])

@@ -58,3 +58,33 @@ def test_checkpoint_manager_retains_max_to_keep(tmp_path):
     mngr.wait_until_finished()
     assert mngr.all_steps() == [4, 5, 6]
     mngr.close()
+
+
+def test_compilation_cache_writes_and_disables(tmp_path):
+    """maybe_enable_compilation_cache points XLA's persistent cache at the
+    configured dir (a compile then materializes a cache entry on disk) and
+    honors compilation_cache=false. Why it exists: crash-resume and elastic
+    relaunches re-execute byte-identical compiles (minutes at 12B scale)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dalle_mtf_tpu.utils.distributed import maybe_enable_compilation_cache
+
+    assert maybe_enable_compilation_cache({"compilation_cache": False}) is None
+
+    cache_dir = tmp_path / "xla_cache"
+    try:
+        got = maybe_enable_compilation_cache(
+            {"compilation_cache_dir": str(cache_dir)}
+        )
+        assert got == str(cache_dir)
+
+        @jax.jit
+        def f(x):
+            return jnp.sin(x) * 41.173  # unique constant -> unique cache key
+
+        f(jnp.arange(8.0)).block_until_ready()
+        entries = list(cache_dir.iterdir())
+        assert entries, "compile produced no persistent cache entry"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)

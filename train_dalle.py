@@ -77,12 +77,14 @@ def _ckpt_dir(model_dir: str) -> str:
 def main():
     args = parse_args()
     from dalle_mtf_tpu.utils.distributed import (
+        maybe_enable_compilation_cache,
         maybe_initialize_distributed,
         maybe_start_profiler_server,
     )
 
     maybe_initialize_distributed()
     params = fetch_model_params(args.model)
+    maybe_enable_compilation_cache(params)
     maybe_start_profiler_server(params)
     assert params["model_type"] == "dalle", f"config {args.model} is not a dalle config"
     assert params["vae_params"] is not None, "vae model config must be supplied (vae_model key)"
@@ -119,7 +121,14 @@ def main():
         mesh=mesh,
         eval_loss_fn=eval_loss_fn,
     )
-    train_iter = iter(dalle_input_fn(params, eval=False))
+    # deterministic data resume: skip the already-trained prefix of this
+    # host's stream (I/O only, no decode) instead of re-feeding it — the
+    # reference restarted its tf.data pipeline from the top on every
+    # crash-resume (train_dalle.py:80-98 + input_fns.py, no iterator state)
+    start_step = trainer.latest_step()
+    if start_step:
+        logger.info("resume at step %d: data stream skips trained prefix", start_step)
+    train_iter = iter(dalle_input_fn(params, eval=False, skip_steps=start_step))
     eval_steps = params.get("eval_steps") or 0
     eval_iter = iter(dalle_input_fn(params, eval=True)) if eval_steps else None
 
@@ -130,12 +139,15 @@ def main():
 
     predict_fn = None
     if params.get("predict_steps"):
+        # a dedicated pipeline (never train_iter): predict consumes one
+        # batch for its golden captions, which would silently shift the
+        # resumable train stream's sample accounting
         predict_fn = make_predict_summary_fn(
             params, dalle, vae, vae_params,
-            data_iter=(
-                iter(dalle_input_fn(params, eval=True))
-                if params["dataset"].get("eval_path")
-                else train_iter
+            data_iter=iter(
+                dalle_input_fn(
+                    params, eval=bool(params["dataset"].get("eval_path"))
+                )
             ),
             tokenizer=tokenizer,
         )

@@ -16,6 +16,7 @@ runs are the same code path.
 from __future__ import annotations
 
 import argparse
+import logging
 
 import jax
 import numpy as np
@@ -25,6 +26,8 @@ from dalle_mtf_tpu.train.tasks import make_vae_task
 from dalle_mtf_tpu.train.trainer import Trainer
 from dalle_mtf_tpu.utils.config import fetch_model_params
 from dalle_mtf_tpu.utils.logging_utils import remove_model_dir, setup_logging
+
+logger = logging.getLogger(__name__)
 
 
 def parse_args():
@@ -41,12 +44,14 @@ def parse_args():
 def main():
     args = parse_args()
     from dalle_mtf_tpu.utils.distributed import (
+        maybe_enable_compilation_cache,
         maybe_initialize_distributed,
         maybe_start_profiler_server,
     )
 
     maybe_initialize_distributed()
     params = fetch_model_params(args.model)
+    maybe_enable_compilation_cache(params)
     maybe_start_profiler_server(params)
     assert params["model_type"] in (None, "vae"), f"config {args.model} is not a vae config"
     logger = setup_logging(params["config_name"] or args.model)
@@ -63,13 +68,20 @@ def main():
         eval_loss_fn=eval_loss_fn,
     )
 
-    train_iter = iter(vae_input_fn(params, eval=False))
+    # deterministic data resume: skip the already-trained prefix of this
+    # host's stream (I/O only, no decode) instead of re-feeding it
+    start_step = trainer.latest_step()
+    if start_step:
+        logger.info("resume at step %d: data stream skips trained prefix", start_step)
+    train_iter = iter(vae_input_fn(params, eval=False, skip_steps=start_step))
     eval_steps = params.get("eval_steps") or 0
     eval_iter = iter(vae_input_fn(params, eval=True)) if eval_steps else None
 
     # image summaries at every checkpoint — the reference's host_call wrote
-    # input vs reconstruction images (model_fns_tf.py:68-78)
-    summary_batch = next(train_iter)
+    # input vs reconstruction images (model_fns_tf.py:68-78). A dedicated
+    # pipeline, NOT next(train_iter): that batch would shift the resumable
+    # train stream's sample accounting
+    summary_batch = next(iter(vae_input_fn(params, eval=False)))
     # jit once; a fresh jax.jit per checkpoint would recompile every time
     recon_fn = jax.jit(
         vae.forward, static_argnames=("hard_gumbel", "train")
