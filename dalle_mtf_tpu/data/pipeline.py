@@ -115,6 +115,14 @@ class _Pipeline:
         # deterministic resume: reproduce the stream from sample position
         # skip_samples onward without decoding the prefix (see _shuffled)
         self.skip_samples = max(0, int(skip_samples))
+        if self.skip_samples and shuffle and not repeat:
+            # _resume_plan replays an unbounded stream; a finite shuffled
+            # stream ends in a drain phase (rng.shuffle of the residue)
+            # whose replay would need the true record count up front —
+            # refuse rather than silently diverge near the tail
+            raise ValueError(
+                "resume skip on a shuffled stream requires repeat=True"
+            )
 
     def _interleaved(self, files: list[str]) -> Iterator[Any]:
         """Round-robin one record at a time across cycle_length open files;
@@ -315,24 +323,49 @@ class _Pipeline:
         # drop_remainder=True (input_fns.py:27)
 
     def __iter__(self) -> Iterator[dict]:
-        """Batches, prefetched on a background thread."""
+        """Batches, prefetched on a background thread.
+
+        Closing/abandoning the iterator (generator GC -> GeneratorExit)
+        stops the producer, which in turn releases everything it holds —
+        shuffle buffer, thread/decode pool, open shards. Without that, a
+        caller who pulls one batch and drops the iterator (e.g. a summary
+        batch) would pin ~5x-batch decoded images and a 16-thread pool for
+        the life of the process. Producer exceptions propagate to the
+        consumer instead of silently ending the stream."""
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce():
             try:
                 for b in self._batches():
-                    q.put(b)
-            finally:
-                q.put(sentinel)
+                    if not _put(b):
+                        return
+                _put(sentinel)
+            except BaseException as e:  # surface in the consumer
+                _put(e)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
 
 
 def _resolve_shard(shard: tuple[int, int] | None) -> tuple[int, int]:

@@ -19,8 +19,11 @@ Design notes (TPU-first):
   per bucket, batches grouped by bucket.
 - the worker thread owns the device: requests never contend for the chip,
   they just queue. Linger (default 5 ms) trades a little latency for
-  batching under load. A batch whose device call fails is retried once
-  (transient runtime hiccups); a second failure surfaces to every waiter.
+  batching under load. A failed device call on a PROVEN executable (one
+  that has succeeded before) is retried once — transient runtime hiccups;
+  a bucket's first-ever call fails fast instead (its error is
+  deterministic — compile/OOM). The final failure surfaces to every
+  waiter in the batch.
 """
 
 from __future__ import annotations
@@ -110,6 +113,13 @@ class BatchingSampler:
                 k, self.top_k_buckets,
             )
             return 0
+        # no untruncated bucket configured: the widest bucket is the best
+        # this server can do, but it IS narrower than asked — say so
+        logger.warning(
+            "top_k=%d above every bucket %s and no 0 (untruncated) bucket "
+            "configured; serving the widest bucket %d (narrower than "
+            "requested)", k, self.top_k_buckets, max(self.top_k_buckets),
+        )
         return max(self.top_k_buckets)
 
     def submit(self, text_tokens, n: int = 1, temperature=None,

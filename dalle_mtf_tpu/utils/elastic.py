@@ -106,7 +106,11 @@ def make_epoch_source(
     arrives within its backoff. The timeout fallback returns the current
     epoch so a lone spurious restart degrades to a failed initialize (and
     another loop) rather than a hang."""
-    last_used: list[int | None] = [None]
+    # Seed with the CURRENT roster epoch: a stale nonzero value left in a
+    # reused roster dir must not satisfy a non-bumper's first wait — the
+    # coordinator bumps past it at its own first launch, and accepting the
+    # stale value would dial a port nobody listens on (burning a restart).
+    last_used: list[int | None] = [roster.epoch() or None]
 
     def epoch(hosts: list[str]) -> int:
         bumper = (coordinator_host or hosts[0]) == host_id

@@ -73,6 +73,14 @@ def test_compilation_cache_writes_and_disables(tmp_path):
     assert maybe_enable_compilation_cache({"compilation_cache": False}) is None
 
     cache_dir = tmp_path / "xla_cache"
+    prev = {
+        name: getattr(jax.config, name)
+        for name in (
+            "jax_compilation_cache_dir",
+            "jax_persistent_cache_min_compile_time_secs",
+            "jax_persistent_cache_min_entry_size_bytes",
+        )
+    }
     try:
         got = maybe_enable_compilation_cache(
             {"compilation_cache_dir": str(cache_dir)}
@@ -87,4 +95,5 @@ def test_compilation_cache_writes_and_disables(tmp_path):
         entries = list(cache_dir.iterdir())
         assert entries, "compile produced no persistent cache entry"
     finally:
-        jax.config.update("jax_compilation_cache_dir", None)
+        for name, val in prev.items():
+            jax.config.update(name, val)

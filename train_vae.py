@@ -16,7 +16,6 @@ runs are the same code path.
 from __future__ import annotations
 
 import argparse
-import logging
 
 import jax
 import numpy as np
@@ -26,8 +25,6 @@ from dalle_mtf_tpu.train.tasks import make_vae_task
 from dalle_mtf_tpu.train.trainer import Trainer
 from dalle_mtf_tpu.utils.config import fetch_model_params
 from dalle_mtf_tpu.utils.logging_utils import remove_model_dir, setup_logging
-
-logger = logging.getLogger(__name__)
 
 
 def parse_args():
