@@ -13,7 +13,13 @@ the single-stream target rate.
 
 Env: BENCH_SERVE_QUANT (int4 default | int8 | none), BENCH_SERVE_BATCH
 (device batch, default 4), BENCH_SERVE_REQUESTS (default 24),
-BENCH_SERVE_TINY=1 (CPU-sized smoke of the harness itself).
+BENCH_SERVE_TINY=1 (CPU-sized smoke of the harness itself),
+BENCH_SERVE_CONTINUOUS=1 (slot-level continuous batching engine;
+per-request top_k needs no buckets there), BENCH_SERVE_CHUNK (decode
+steps per dispatch in continuous mode, default 128),
+BENCH_SERVE_ARRIVAL_MS (mean exponential inter-arrival gap; default 0 =
+all at once — set it to expose the convoy effect continuous batching
+removes).
 """
 
 from __future__ import annotations
@@ -30,6 +36,9 @@ QUANT = os.environ.get("BENCH_SERVE_QUANT", "int4")
 BATCH = int(os.environ.get("BENCH_SERVE_BATCH", 4))
 N_REQUESTS = int(os.environ.get("BENCH_SERVE_REQUESTS", 24))
 TINY = bool(int(os.environ.get("BENCH_SERVE_TINY", "0")))
+CONTINUOUS = bool(int(os.environ.get("BENCH_SERVE_CONTINUOUS", "0")))
+CHUNK = int(os.environ.get("BENCH_SERVE_CHUNK", 128))
+ARRIVAL_MS = float(os.environ.get("BENCH_SERVE_ARRIVAL_MS", 0))
 TARGET_IMAGES_PER_SEC = 0.5  # BASELINE.md: <2 s per image, single stream
 
 
@@ -76,10 +85,18 @@ def main():
 
         params = cast_decode_weights(params)
 
-    sampler = BatchingSampler(
-        dalle, params, vae, vae_params,
-        batch_size=BATCH, top_k=64 if not TINY else 8, linger_ms=5.0,
-    )
+    if CONTINUOUS:
+        from dalle_mtf_tpu.serve import ContinuousBatchingSampler
+
+        sampler = ContinuousBatchingSampler(
+            dalle, params, vae, vae_params,
+            batch_size=BATCH, top_k=64 if not TINY else 8, chunk=CHUNK,
+        )
+    else:
+        sampler = BatchingSampler(
+            dalle, params, vae, vae_params,
+            batch_size=BATCH, top_k=64 if not TINY else 8, linger_ms=5.0,
+        )
     rng = np.random.RandomState(0)
     prompts = [
         rng.randint(0, cfg.text_vocab_size, cfg.text_seq_len).tolist()
@@ -91,8 +108,9 @@ def main():
     top_ks = [(16 if i % 3 == 0 else (64 if not TINY else 8))
               for i in range(N_REQUESTS)]
 
-    # warmup: compile every (top_k bucket) executable before timing
-    for k in sorted(set(top_ks)):
+    # warmup: compile every executable before timing (continuous mode has
+    # one executable regardless of top_k; warm once)
+    for k in sorted(set(top_ks)) if not CONTINUOUS else [top_ks[0]]:
         sampler.submit(prompts[0], n=1, temperature=1.0, top_k=k).result(
             timeout=1800
         )
@@ -111,8 +129,11 @@ def main():
     threads = [
         threading.Thread(target=fire, args=(i,)) for i in range(N_REQUESTS)
     ]
+    arrival_rng = np.random.RandomState(1)
     for t in threads:
         t.start()
+        if ARRIVAL_MS > 0:  # open-loop Poisson arrivals
+            time.sleep(arrival_rng.exponential(ARRIVAL_MS / 1e3))
     for t in threads:
         t.join()
     wall = time.perf_counter() - t_start
@@ -126,7 +147,10 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"dalle_coco_serve_images_per_sec_{QUANT}_b{BATCH}",
+                "metric": (
+                    f"dalle_coco_serve_images_per_sec_{QUANT}_b{BATCH}"
+                    + ("_continuous" if CONTINUOUS else "")
+                ),
                 "value": round(throughput, 3),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(throughput / TARGET_IMAGES_PER_SEC, 3),

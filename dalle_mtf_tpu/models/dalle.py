@@ -901,3 +901,94 @@ class DALLE:
         cache = {"k": new_k, "v": new_v}
         x = self._layer_norm(x[:, 0], params["lnf_g"], params["lnf_b"])
         return self._last_logits(params, x), cache
+
+    # ------------------------------------------- per-row (continuous) decode
+
+    def decode_step_rows(
+        self, params, cache: dict, token: jax.Array, positions: jax.Array
+    ) -> tuple[jax.Array, dict]:
+        """``decode_step`` with a PER-ROW position vector: token [B] where
+        row b sits at ``positions[b]`` -> logits [B, vocab].
+
+        This is what continuous batching needs — slots in one batch decode
+        at different depths (a request admitted mid-flight starts at the
+        text boundary while its neighbors are deep into the image region).
+        The cache write is a per-row dynamic_update_slice (vmapped over the
+        batch); the attention mask broadcasts the position vector.
+        Identical math to ``decode_step`` when all positions agree (the
+        greedy-equivalence tests pin that).
+        """
+        cfg = self.cfg
+        dtype = cfg.policy.compute_dtype
+        x = params["wte"].astype(dtype)[token]  # [B, E]
+        x = x + params["wpe"].astype(dtype)[positions]  # per-row gather
+        x = x[:, None, :]  # [B, 1, E]
+        pos_b = positions[:, None, None, None]  # [B,1,1,1] for broadcasting
+
+        row_update = jax.vmap(
+            lambda c, n, p: jax.lax.dynamic_update_slice(c, n, (0, p, 0))
+        )  # [B,H,S,D], [B,H,1,D], [B] -> per-row scatter at its own position
+
+        def body(x_, scanned):
+            p, k_cache, v_cache = scanned
+            a_in = self._layer_norm(x_, p["ln1_g"], p["ln1_b"])
+            q, k_new, v_new = self._qkv(p, a_in)
+            k_cache = row_update(k_cache, k_new.astype(k_cache.dtype), positions)
+            v_cache = row_update(v_cache, v_new.astype(v_cache.dtype), positions)
+            a = decode_attention(q, k_cache, v_cache, pos_b, window=self._window)
+            x_ = x_ + self._attn_out(p, a)
+            m_in = self._layer_norm(x_, p["ln2_g"], p["ln2_b"])
+            x_ = x_ + self._mlp(p, m_in)
+            return x_, (k_cache, v_cache)
+
+        x, (new_k, new_v) = jax.lax.scan(
+            body, x, (params["layers"], cache["k"], cache["v"])
+        )
+        cache = {"k": new_k, "v": new_v}
+        x = self._layer_norm(x[:, 0], params["lnf_g"], params["lnf_b"])
+        return self._last_logits(params, x), cache
+
+    def prefill_rows(
+        self, params, tokens: jax.Array, cache: dict, row_mask: jax.Array
+    ) -> tuple[jax.Array, dict]:
+        """``prefill`` that only takes effect on ``row_mask`` rows.
+
+        Continuous batching admits new requests into free slots of a live
+        batch: the prompt pass runs for the full (fixed-shape) batch — one
+        executable, no recompiles — but the cache merge keeps the occupied
+        rows' k/v untouched. Returns (last-position logits [B, vocab] fp32
+        — meaningful only on masked rows, callers merge; merged cache).
+        """
+        cfg = self.cfg
+        dtype = cfg.policy.compute_dtype
+        t = tokens.shape[1]
+        x = params["wte"].astype(dtype)[tokens] + params["wpe"].astype(dtype)[:t]
+
+        def body(x_, scanned):
+            (p,) = scanned
+            a_in = self._layer_norm(x_, p["ln1_g"], p["ln1_b"])
+            q, k, v = self._qkv(p, a_in)
+            a = causal_attention(q, k, v, window=self._window)
+            x_ = x_ + self._attn_out(p, a)
+            m_in = self._layer_norm(x_, p["ln2_g"], p["ln2_b"])
+            x_ = x_ + self._mlp(p, m_in)
+            return x_, (k, v)
+
+        x, (ks, vs) = jax.lax.scan(body, x, (params["layers"],))
+        m = row_mask[None, :, None, None, None]  # over [L, B, H, t, D]
+        old_k = cache["k"][:, :, :, :t, :]
+        old_v = cache["v"][:, :, :, :t, :]
+        cache = {
+            "k": jax.lax.dynamic_update_slice(
+                cache["k"],
+                jnp.where(m, ks.astype(cache["k"].dtype), old_k),
+                (0, 0, 0, 0, 0),
+            ),
+            "v": jax.lax.dynamic_update_slice(
+                cache["v"],
+                jnp.where(m, vs.astype(cache["v"].dtype), old_v),
+                (0, 0, 0, 0, 0),
+            ),
+        }
+        x = self._layer_norm(x, params["lnf_g"], params["lnf_b"])
+        return self._last_logits(params, x[:, -1]), cache

@@ -98,6 +98,125 @@ def generate_image_tokens(
     return tokens.T - lo
 
 
+def _sample_token_rows(rng, logits, temperature, top_k_rows, k_max: int):
+    """Per-row sampling with a TRACED per-row ``top_k`` in one executable.
+
+    ``lax.approx_max_k`` needs a static k, so the whole-batch samplers
+    bucket top_k into one executable per value (serve.BatchingSampler).
+    Continuous batching mixes requests with different top_k in ONE live
+    batch, so bucketing is impossible — instead the static reduce runs at
+    ``k_max`` and each row masks candidates by RANK (approx_max_k returns
+    them sorted), which makes top_k a traced [B] vector: any k in
+    [1, k_max] without recompiling. k=0 rows (untruncated) sample from the
+    full-vocab categorical; temp <= 0 rows take the exact full argmax.
+    """
+    logits = logits.astype(jnp.float32)
+    b = logits.shape[0]
+    temp = jnp.broadcast_to(
+        jnp.asarray(temperature, jnp.float32), (b,)
+    )[:, None]
+    safe = jnp.maximum(temp, 1e-6)
+    ks = jnp.broadcast_to(jnp.asarray(top_k_rows, jnp.int32), (b,))[:, None]
+
+    vals, idxs = jax.lax.approx_max_k(logits, k_max, recall_target=0.99)
+    rank = jnp.arange(k_max)[None, :]
+    vals = jnp.where(rank < jnp.clip(ks, 1, k_max), vals, -jnp.inf)
+    r_top, r_full = jax.random.split(rng)
+    choice = jax.random.categorical(r_top, vals / safe, axis=-1)
+    tok_topk = jnp.take_along_axis(idxs, choice[..., None], axis=-1)[..., 0]
+    tok_full = jax.random.categorical(r_full, logits / safe, axis=-1)
+    tok = jnp.where(ks[:, 0] == 0, tok_full, tok_topk)
+    greedy = jnp.argmax(logits, axis=-1)
+    return jnp.where(temp[:, 0] <= 0.0, greedy, tok).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dalle", "chunk", "k_max"),
+    donate_argnums=(2, 3, 4),  # cache, last_logits, positions round-trip
+)
+def decode_chunk(
+    dalle: DALLE,
+    params,
+    cache: dict,
+    last_logits: jax.Array,
+    positions: jax.Array,
+    rng: jax.Array,
+    temperature: jax.Array,
+    top_k_rows: jax.Array,
+    chunk: int = 128,
+    k_max: int = 256,
+):
+    """``chunk`` decode steps of a continuously-batched generation.
+
+    Each batch slot advances from its OWN position (rows are admitted at
+    different times — see serve.ContinuousBatchingSampler); finished rows
+    (position at the sequence end) park: they keep riding the executable
+    (decode cost is weight-streaming-bound, idle rows are nearly free) but
+    stop advancing, and their parked writes land on their own last cache
+    slot, which the next occupant's prefill/decode overwrites before any
+    read. Identical per-step math to ``generate_image_tokens``'s scan —
+    greedy (temp<=0) outputs bit-match it.
+
+    Returns (cache, last_logits, positions, rng, tokens i32[chunk, B]
+    0-based image tokens, active bool[chunk, B] marking which emissions
+    are real).
+    """
+    cfg = dalle.cfg
+    t = cfg.text_seq_len
+    lo = cfg.text_vocab_size
+    hi = lo + cfg.image_vocab_size
+    end_pos = t + cfg.image_seq_len
+
+    band = jnp.arange(cfg.total_tokens)
+    band_mask = jnp.where((band >= lo) & (band < hi), 0.0, -jnp.inf)
+
+    def step(carry, _):
+        cache_, logits_, pos_, rng_ = carry
+        rng_, sub = jax.random.split(rng_)
+        active = pos_ < end_pos
+        tok = _sample_token_rows(
+            sub, logits_ + band_mask, temperature, top_k_rows, k_max
+        )
+        pos_used = jnp.minimum(pos_, end_pos - 1)
+        new_logits, cache_ = dalle.decode_step_rows(
+            params, cache_, tok, pos_used
+        )
+        new_pos = pos_ + active.astype(pos_.dtype)
+        return (cache_, new_logits, new_pos, rng_), (tok - lo, active)
+
+    (cache, last_logits, positions, rng), (tokens, active) = jax.lax.scan(
+        step, (cache, last_logits, positions, rng), None, length=chunk
+    )
+    return cache, last_logits, positions, rng, tokens, active
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dalle",),
+    donate_argnums=(2, 3, 4),
+)
+def admit_rows(
+    dalle: DALLE,
+    params,
+    cache: dict,
+    last_logits: jax.Array,
+    positions: jax.Array,
+    texts: jax.Array,
+    mask: jax.Array,
+):
+    """Admit new requests into the masked slots of a live continuous batch:
+    prefill their prompts (fixed-shape full-batch pass, one executable),
+    merge k/v + logits + positions only on ``mask`` rows. Occupied rows are
+    untouched."""
+    new_logits, cache = dalle.prefill_rows(params, texts, cache, mask)
+    last_logits = jnp.where(mask[:, None], new_logits, last_logits)
+    positions = jnp.where(
+        mask, jnp.int32(dalle.cfg.text_seq_len), positions
+    )
+    return cache, last_logits, positions
+
+
 def generate_images(
     dalle: DALLE,
     dalle_params,

@@ -260,6 +260,238 @@ class BatchingSampler:
                 r += n
 
 
+class ContinuousBatchingSampler:
+    """Slot-level continuous batching (vLLM-style, for fixed-length image
+    generation): requests join a LIVE batch at chunk boundaries instead of
+    waiting out the in-flight whole-image generation.
+
+    Why: ``BatchingSampler`` forms a batch, generates all 1024 tokens, and
+    only then looks at the queue — a request arriving just after launch
+    waits a full generation (~1 s) before its own starts, and late-batch
+    slots whose work finished... don't exist (all rows finish together),
+    but EMPTY slots ride whole generations when load is bursty. Here the
+    device loop is a ``decode_chunk`` of N steps; between chunks, finished
+    rows leave (their image decodes + resolves immediately) and queued
+    requests are admitted into free slots via a masked prefill
+    (sample.admit_rows) — slot occupancy tracks offered load at chunk
+    granularity. Admission latency is one chunk (~chunk × step time);
+    dispatch overhead amortizes across the chunk.
+
+    Per-request sampling params need no buckets at all in this mode:
+    ``top_k`` rides as a traced per-row RANK mask over one static
+    ``k_max``-wide approx_max_k (any k in [1, k_max] in one executable;
+    k=0 = untruncated full-vocab categorical; k > k_max is served
+    untruncated — wider, never narrower). ``temperature`` is the same
+    traced [B] vector the whole-batch sampler uses.
+
+    Failure policy: the chunk/admit executables DONATE their state buffers
+    (the KV cache round-trips every chunk), so a failed device call leaves
+    no state to retry from — every in-flight request gets the error and
+    the engine resets to empty slots. Same client API as BatchingSampler
+    (submit -> Future, close), so make_server works unchanged.
+    """
+
+    def __init__(
+        self,
+        dalle,
+        dalle_params,
+        vae,
+        vae_params,
+        batch_size: int = 4,
+        temperature: float = 1.0,
+        top_k: int = 64,
+        seed: int = 0,
+        chunk: int = 128,
+        k_max: int = 256,
+    ):
+        from dalle_mtf_tpu.sample import admit_rows, decode_chunk  # noqa: PLC0415
+
+        self.dalle = dalle
+        self.vae = vae
+        self.batch_size = int(batch_size)
+        self.temperature = float(temperature)
+        self.top_k = int(top_k)
+        self.chunk = int(chunk)
+        self.k_max = int(k_max)
+        self._params = (dalle_params, vae_params)
+        self._admit_rows = admit_rows
+        self._decode_chunk = decode_chunk
+        self._decode_tokens = jax.jit(vae.decode_tokens)
+        self._seed = seed
+        self._q: queue.Queue = queue.Queue()
+        self._closed = False
+        self._submit_lock = threading.Lock()
+        self._reset_state()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # ------------------------------------------------------------ client API
+
+    def _effective_top_k(self, top_k) -> int:
+        k = int(self.top_k if top_k is None else top_k)
+        if k <= 0:
+            return 0
+        if k > self.k_max:
+            logger.warning(
+                "top_k=%d above k_max=%d; serving untruncated", k, self.k_max
+            )
+            return 0
+        return k
+
+    def submit(self, text_tokens, n: int = 1, temperature=None,
+               top_k=None) -> Future:
+        """Same contract as BatchingSampler.submit."""
+        if self._closed:
+            raise RuntimeError("sampler is closed")
+        n = int(n)
+        if not 1 <= n <= self.batch_size:
+            raise ValueError(f"n must be in [1, {self.batch_size}]")
+        ids = list(text_tokens)
+        if len(ids) != self.dalle.cfg.text_seq_len:
+            raise ValueError(
+                f"text must be tokenized+padded to {self.dalle.cfg.text_seq_len}"
+            )
+        temp = self.temperature if temperature is None else float(temperature)
+        if not 0.0 <= temp <= 100.0:
+            raise ValueError(f"temperature {temp} out of range [0, 100]")
+        k = self._effective_top_k(top_k)
+        fut: Future = Future()
+        group = {"fut": fut, "need": n, "images": [None] * n}
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("sampler is closed")
+            for i in range(n):
+                self._q.put((ids, temp, k, group, i))
+        return fut
+
+    def close(self):
+        with self._submit_lock:
+            self._closed = True
+            self._q.put(None)
+        self._worker.join(timeout=30)
+
+    # ---------------------------------------------------------------- engine
+
+    def _reset_state(self):
+        b = self.batch_size
+        cfg = self.dalle.cfg
+        self._end_pos = cfg.text_seq_len + cfg.image_seq_len
+        self._cache = self.dalle.init_cache(b)
+        self._logits = jnp.zeros((b, cfg.total_tokens), jnp.float32)
+        # parked at the end: no slot advances until something is admitted
+        self._positions = jnp.full((b,), self._end_pos, jnp.int32)
+        self._rng = jax.random.PRNGKey(self._seed)
+        self._temps = np.full((b,), 1.0, np.float32)
+        self._topks = np.zeros((b,), np.int32)
+        # per-slot host bookkeeping: None = free
+        self._slot: list[dict | None] = [None] * b
+        self._slot_tokens: list[list[int]] = [[] for _ in range(b)]
+
+    def _fail_all(self, err: Exception):
+        for s in self._slot:
+            if s is not None and not s["group"]["fut"].cancelled():
+                s["group"]["fut"].set_exception(err)
+        self._reset_state()
+
+    def _admit(self) -> bool | None:
+        """Fill free slots from the queue. Blocks when the batch is idle;
+        returns None on shutdown, else whether anything was admitted."""
+        free = [i for i, s in enumerate(self._slot) if s is None]
+        idle = len(free) == len(self._slot)
+        admitted = []
+        while free:
+            try:
+                item = self._q.get(block=idle and not admitted)
+            except queue.Empty:
+                break
+            if item is None:
+                return None
+            ids, temp, k, group, idx = item
+            slot = free.pop(0)
+            self._slot[slot] = {
+                "ids": ids, "group": group, "idx": idx, "t0": time.perf_counter(),
+            }
+            self._slot_tokens[slot] = []
+            self._temps[slot] = temp
+            self._topks[slot] = k
+            admitted.append(slot)
+            if not free:
+                break
+        if not admitted:
+            return False
+        cfg = self.dalle.cfg
+        texts = np.zeros((self.batch_size, cfg.text_seq_len), np.int32)
+        mask = np.zeros((self.batch_size,), bool)
+        for slot in admitted:
+            texts[slot] = np.asarray(self._slot[slot]["ids"], np.int32)
+            mask[slot] = True
+        self._cache, self._logits, self._positions = self._admit_rows(
+            self.dalle, self._params[0], self._cache, self._logits,
+            self._positions, jnp.asarray(texts), jnp.asarray(mask),
+        )
+        logger.info("admitted %d request row(s) into slots %s",
+                    len(admitted), admitted)
+        return True
+
+    def _finish_rows(self, finished: list[int]):
+        """VAE-decode the finished slots (one fixed-shape full-batch
+        executable; idle rows carry garbage and are discarded) and resolve
+        any groups whose rows are all done."""
+        cfg = self.dalle.cfg
+        toks = np.zeros((self.batch_size, cfg.image_seq_len), np.int32)
+        for slot in finished:
+            toks[slot] = np.asarray(self._slot_tokens[slot], np.int32)
+        imgs = np.asarray(jax.device_get(
+            self._decode_tokens(self._params[1], jnp.asarray(toks))
+        ))
+        for slot in finished:
+            s = self._slot[slot]
+            g = s["group"]
+            g["images"][s["idx"]] = imgs[slot]
+            logger.info(
+                "slot %d finished in %.2fs", slot, time.perf_counter() - s["t0"]
+            )
+            self._slot[slot] = None
+            self._slot_tokens[slot] = []
+            if all(im is not None for im in g["images"]):
+                if not g["fut"].cancelled():
+                    g["fut"].set_result(np.stack(g["images"]))
+
+    def _run(self):
+        while True:
+            got = self._admit()
+            if got is None:
+                self._fail_all(RuntimeError("sampler is closed"))
+                return
+            if all(s is None for s in self._slot):
+                continue  # woke on shutdown race or spurious empty
+            try:
+                (self._cache, self._logits, self._positions, self._rng,
+                 tokens, active) = self._decode_chunk(
+                    self.dalle, self._params[0], self._cache, self._logits,
+                    self._positions, self._rng,
+                    jnp.asarray(self._temps), jnp.asarray(self._topks),
+                    chunk=self.chunk, k_max=self.k_max,
+                )
+                tokens = np.asarray(jax.device_get(tokens))
+                active = np.asarray(jax.device_get(active))
+            except Exception as e:
+                # donated state is gone — no retry possible; surface + reset
+                logger.exception("decode chunk failed; resetting engine")
+                self._fail_all(e)
+                continue
+            finished = []
+            for slot, s in enumerate(self._slot):
+                if s is None:
+                    continue
+                emitted = tokens[active[:, slot], slot]
+                self._slot_tokens[slot].extend(emitted.tolist())
+                if len(self._slot_tokens[slot]) >= self.dalle.cfg.image_seq_len:
+                    finished.append(slot)
+            if finished:
+                self._finish_rows(finished)
+
+
 # ------------------------------------------------------------------- HTTP
 
 def _png_b64(img: np.ndarray) -> str:

@@ -41,6 +41,14 @@ def parse_args():
     p.add_argument("--top_k", type=int, default=64)
     p.add_argument("--linger-ms", type=float, default=5.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--continuous", action="store_true",
+                   help="continuous batching: requests join the live batch "
+                        "at --chunk-token boundaries instead of waiting out "
+                        "the in-flight generation (per-request top_k needs "
+                        "no buckets in this mode)")
+    p.add_argument("--chunk", type=int, default=128,
+                   help="decode steps per device dispatch in --continuous "
+                        "mode (admission latency ~= chunk * step time)")
     p.add_argument("--int8", action="store_true",
                    help="int8 decode weights (~1.5x faster decode)")
     p.add_argument("--quantize", choices=("none", "int8", "int4"),
@@ -95,11 +103,20 @@ def main():
         dalle_params = cast_decode_weights(dalle_params)
 
     batch = args.batch_size or params["predict_batch_size"] or 4
-    sampler = BatchingSampler(
-        dalle, dalle_params, vae, vae_params,
-        batch_size=batch, temperature=args.temperature, top_k=args.top_k,
-        linger_ms=args.linger_ms, seed=args.seed,
-    )
+    if args.continuous:
+        from dalle_mtf_tpu.serve import ContinuousBatchingSampler
+
+        sampler = ContinuousBatchingSampler(
+            dalle, dalle_params, vae, vae_params,
+            batch_size=batch, temperature=args.temperature,
+            top_k=args.top_k, seed=args.seed, chunk=args.chunk,
+        )
+    else:
+        sampler = BatchingSampler(
+            dalle, dalle_params, vae, vae_params,
+            batch_size=batch, temperature=args.temperature, top_k=args.top_k,
+            linger_ms=args.linger_ms, seed=args.seed,
+        )
     # warm the executable so the first request doesn't pay the compile
     warm = sampler.submit([params["padding_id"]] * dalle.cfg.text_seq_len, 1)
     warm.result()
