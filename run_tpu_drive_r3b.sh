@@ -53,4 +53,10 @@ timeout 2400 python bench_serve.py 2>&1 | tail -1
 echo "=== serve under load: int4, device batch 8 ==="
 BENCH_SERVE_BATCH=8 BENCH_SERVE_REQUESTS=32 timeout 2400 python bench_serve.py 2>&1 | tail -1
 
+echo "=== serve CONTINUOUS vs whole-batch, staggered 300ms Poisson arrivals ==="
+BENCH_SERVE_CONTINUOUS=1 BENCH_SERVE_ARRIVAL_MS=300 timeout 2400 python bench_serve.py 2>&1 | tail -1
+BENCH_SERVE_ARRIVAL_MS=300 timeout 2400 python bench_serve.py 2>&1 | tail -1
+echo "=== serve CONTINUOUS burst (all at once) ==="
+BENCH_SERVE_CONTINUOUS=1 timeout 2400 python bench_serve.py 2>&1 | tail -1
+
 echo "=== drive r3b done ==="

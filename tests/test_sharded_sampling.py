@@ -67,3 +67,50 @@ def test_int8_after_sharding_stays_sharded_and_generates():
     # int8 is lossy; greedy tokens should still largely agree at tiny scale
     agreement = float(np.mean(np.asarray(ref) == np.asarray(out)))
     assert agreement > 0.5, f"int8+TP generation diverged (agreement {agreement})"
+
+
+def test_tp_sharded_continuous_chunks_match_unsharded_greedy():
+    """The continuous-batching executables (admit_rows masked prefill +
+    decode_chunk per-row decode) under TP-sharded params must reproduce the
+    unsharded whole-batch greedy tokens exactly — the per-row KV scatter
+    and position-masked attention have to survive GSPMD partitioning."""
+    from dalle_mtf_tpu.sample import admit_rows, decode_chunk
+
+    model = DALLE(CFG)
+    params = model.init(jax.random.PRNGKey(0))
+    b = 4
+    text = jax.random.randint(jax.random.PRNGKey(1), (b, 8), 0, 40)
+    ref = generate_image_tokens(model, params, text, jax.random.PRNGKey(2),
+                                temperature=0.0)
+
+    mesh = build_mesh("data:4,model:2")
+    rules = parse_layout(
+        "batch_dim:data,heads_dim:model,intermediate_expanded:model,vocab_dim:model"
+    )
+    sharded = shard_params(params, mesh, rules, model.logical_axes())
+
+    end = CFG.text_seq_len + CFG.image_seq_len
+    cache = model.init_cache(b)
+    logits = jnp.zeros((b, CFG.total_tokens), jnp.float32)
+    positions = jnp.full((b,), end, jnp.int32)  # parked
+    cache, logits, positions = admit_rows(
+        model, sharded, cache, logits, positions,
+        text.astype(jnp.int32), jnp.ones((b,), bool),
+    )
+    toks = [[] for _ in range(b)]
+    rng = jax.random.PRNGKey(0)
+    temps = jnp.zeros((b,), jnp.float32)   # greedy: rng-independent
+    topks = jnp.zeros((b,), jnp.int32)
+    # chunk 5 over 16 tokens: the last chunk runs with every row parked
+    # part of the time (exercises the clamped-position writes)
+    for _ in range(4):
+        cache, logits, positions, rng, tokens, active = decode_chunk(
+            model, sharded, cache, logits, positions, rng, temps, topks,
+            chunk=5, k_max=8,
+        )
+        tokens, active = np.asarray(tokens), np.asarray(active)
+        for i in range(b):
+            toks[i].extend(tokens[active[:, i], i].tolist())
+    got = np.asarray([t for t in toks])
+    assert got.shape == (b, CFG.image_seq_len)
+    np.testing.assert_array_equal(np.asarray(ref), got)
