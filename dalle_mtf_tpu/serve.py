@@ -154,6 +154,16 @@ class BatchingSampler:
             self._q.put(None)
         self._worker.join(timeout=30)
 
+    def stats(self) -> dict:
+        """Live engine counters (served by the HTTP /stats endpoint)."""
+        return {
+            "engine": "whole-batch",
+            "batch_size": self.batch_size,
+            "queue_depth": self._q.qsize(),
+            "holdback": len(self._holdback),
+            "batches_done": self._batch_counter,
+        }
+
     # ---------------------------------------------------------------- worker
 
     def _collect(self):
@@ -317,6 +327,11 @@ class ContinuousBatchingSampler:
         self._admit_rows = admit_rows
         self._decode_chunk = decode_chunk
         self._decode_tokens = jax.jit(vae.decode_tokens)
+        end = dalle.cfg.text_seq_len + dalle.cfg.image_seq_len
+        self._park = jax.jit(
+            lambda pos, m: jnp.where(m, jnp.int32(end), pos)
+        )
+        self._chunks_done = 0
         self._seed = seed
         self._q: queue.Queue = queue.Queue()
         self._closed = False
@@ -393,6 +408,25 @@ class ContinuousBatchingSampler:
                 s["group"]["fut"].set_exception(err)
         self._reset_state()
 
+    def _reap_cancelled(self):
+        """Free slots whose request was cancelled: park their positions so
+        they stop advancing and admit new work next cycle. (The whole-batch
+        engine cannot do this — its executable runs all 1024 steps for
+        every row regardless.)"""
+        cancelled = [
+            i for i, s in enumerate(self._slot)
+            if s is not None and s["group"]["fut"].cancelled()
+        ]
+        if not cancelled:
+            return
+        mask = np.zeros((self.batch_size,), bool)
+        for slot in cancelled:
+            mask[slot] = True
+            self._slot[slot] = None
+            self._slot_tokens[slot] = []
+        self._positions = self._park(self._positions, jnp.asarray(mask))
+        logger.info("reaped %d cancelled slot(s): %s", len(cancelled), cancelled)
+
     def _admit(self) -> bool | None:
         """Fill free slots from the queue. Blocks when the batch is idle;
         returns None on shutdown, else whether anything was admitted."""
@@ -457,8 +491,20 @@ class ContinuousBatchingSampler:
                 if not g["fut"].cancelled():
                     g["fut"].set_result(np.stack(g["images"]))
 
+    def stats(self) -> dict:
+        """Live engine counters (served by the HTTP /stats endpoint)."""
+        return {
+            "engine": "continuous",
+            "slots_total": self.batch_size,
+            "slots_busy": sum(s is not None for s in self._slot),
+            "queue_depth": self._q.qsize(),
+            "chunks_done": self._chunks_done,
+            "chunk": self.chunk,
+        }
+
     def _run(self):
         while True:
+            self._reap_cancelled()  # freed slots admit new work right away
             got = self._admit()
             if got is None:
                 self._fail_all(RuntimeError("sampler is closed"))
@@ -475,6 +521,7 @@ class ContinuousBatchingSampler:
                 )
                 tokens = np.asarray(jax.device_get(tokens))
                 active = np.asarray(jax.device_get(active))
+                self._chunks_done += 1
             except Exception as e:
                 # donated state is gone — no retry possible; surface + reset
                 logger.exception("decode chunk failed; resetting engine")
@@ -505,12 +552,14 @@ def _png_b64(img: np.ndarray) -> str:
     return base64.b64encode(buf.getvalue()).decode()
 
 
-def make_server(sampler: BatchingSampler, tokenizer, pad_len: int,
+def make_server(sampler: BatchingSampler | ContinuousBatchingSampler,
+                tokenizer, pad_len: int,
                 host: str = "0.0.0.0", port: int = 8000,
                 timeout_s: float = 120.0) -> ThreadingHTTPServer:
-    """HTTP front end. POST /generate {"text": str, "n": int,
-    "temperature": float?, "top_k": int?} ->
-    {"images": [<b64 png>...], "latency_s": float}; GET /healthz -> ok."""
+    """HTTP front end (either engine). POST /generate {"text": str,
+    "n": int, "temperature": float?, "top_k": int?} ->
+    {"images": [<b64 png>...], "latency_s": float}; GET /healthz -> ok;
+    GET /stats -> live engine counters."""
     from dalle_mtf_tpu.data.tokenizer import pad_or_truncate  # noqa: PLC0415
 
     class Handler(BaseHTTPRequestHandler):
@@ -528,6 +577,8 @@ def make_server(sampler: BatchingSampler, tokenizer, pad_len: int,
         def do_GET(self):
             if self.path == "/healthz":
                 self._reply(200, {"status": "ok"})
+            elif self.path == "/stats":
+                self._reply(200, sampler.stats())
             else:
                 self._reply(404, {"error": "not found"})
 

@@ -304,3 +304,21 @@ class TestHoldbackOrdering:
             assert order[0] == 2, order
         finally:
             s.close()
+
+
+def test_stats_endpoint(sampler):
+    srv = make_server(sampler, None, CFG.text_seq_len,
+                      host="127.0.0.1", port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stats", timeout=30
+        ) as r:
+            st = json.loads(r.read())
+        assert st["engine"] == "whole-batch"
+        assert st["batch_size"] == 4
+        assert "batches_done" in st and "queue_depth" in st
+    finally:
+        srv.shutdown()

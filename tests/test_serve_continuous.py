@@ -166,3 +166,44 @@ class TestEngineBehavior:
         s.close()
         with pytest.raises(RuntimeError):
             s.submit([1, 2, 3, 4], n=1)
+
+
+class TestCancellationAndStats:
+    def test_cancelled_request_frees_slot(self, models):
+        """A cancelled Future's slot is reaped at the next chunk boundary
+        and its capacity serves the following request (the whole-batch
+        engine runs every row to completion regardless)."""
+        dalle, dparams, vae, vparams = models
+        s = ContinuousBatchingSampler(
+            dalle, dparams, vae, vparams,
+            batch_size=1, temperature=0.0, top_k=0, chunk=4, k_max=8,
+        )
+        try:
+            # warm the executables so timing is deterministic-ish
+            s.submit([1, 0, 0, 0], n=1).result(timeout=240)
+            f1 = s.submit([9, 9, 9, 0], n=1)
+            f2 = s.submit([1, 2, 3, 0], n=1)  # queued behind f1 (1 slot)
+            f1.cancel()
+            got = f2.result(timeout=240)[0]
+            np.testing.assert_array_equal(
+                got, _solo_greedy(models, [1, 2, 3, 0])
+            )
+            # f1 either never ran (cancelled before admission) or was
+            # reaped; either way it must not hold the slot or a result
+            assert f1.cancelled()
+        finally:
+            s.close()
+
+    def test_stats_counters(self, models):
+        dalle, dparams, vae, vparams = models
+        s = ContinuousBatchingSampler(
+            dalle, dparams, vae, vparams, batch_size=2, chunk=4, k_max=8,
+        )
+        try:
+            st = s.stats()
+            assert st["engine"] == "continuous"
+            assert st["slots_total"] == 2 and st["slots_busy"] == 0
+            s.submit([1, 0, 0, 0], n=1).result(timeout=240)
+            assert s.stats()["chunks_done"] >= 1
+        finally:
+            s.close()
