@@ -19,6 +19,7 @@ SPMD train step:
 
 from __future__ import annotations
 
+import datetime
 import logging
 import os
 import time
@@ -366,10 +367,19 @@ class Trainer:
         import orbax.checkpoint as ocp
 
         if self._ckpt_mngr is None:
+            # retention mirrors the reference's sharded Saver: max_to_keep=5
+            # plus keep_checkpoint_every_n_hours=2 (model_fns.py:204-208) —
+            # orbax's keep_time_interval exempts one checkpoint per interval
+            # from max_to_keep eviction, so long runs keep a sparse history
+            hours = self.params.get("keep_checkpoint_every_n_hours")
             self._ckpt_mngr = ocp.CheckpointManager(
                 os.path.join(self.model_dir, "checkpoints"),
                 options=ocp.CheckpointManagerOptions(
                     max_to_keep=self.params.get("max_to_keep") or 5,
+                    keep_time_interval=(
+                        datetime.timedelta(hours=float(hours))
+                        if hours else None
+                    ),
                     create=True,
                 ),
             )

@@ -473,3 +473,30 @@ class TestPredictEveryCheckpoint:
             )
             is None
         )
+
+
+def test_keep_checkpoint_every_n_hours_option(tmp_path):
+    """Reference parity: the sharded Saver kept one checkpoint per 2 hours
+    exempt from max_to_keep eviction (model_fns.py:204-208) — orbax's
+    keep_time_interval carries the same contract."""
+    import datetime
+
+    _vae, init_fn, loss_fn, _eval, axes = make_vae_task(VAE_PARAMS)
+    params = Config.from_mapping(
+        {**VAE_PARAMS.to_dict(), "keep_checkpoint_every_n_hours": 2}
+    )
+    trainer = Trainer(
+        params, init_fn, loss_fn, axes,
+        model_dir=str(tmp_path / "m"), seq_len=16,
+    )
+    opts = trainer.ckpt_mngr._options
+    assert opts.keep_time_interval == datetime.timedelta(hours=2)
+    assert opts.max_to_keep == 5
+    trainer.close()
+
+    trainer2 = Trainer(
+        VAE_PARAMS, init_fn, loss_fn, axes,
+        model_dir=str(tmp_path / "m2"), seq_len=16,
+    )
+    assert trainer2.ckpt_mngr._options.keep_time_interval is None
+    trainer2.close()
