@@ -24,18 +24,43 @@ from dalle_mtf_tpu.models.dalle import DALLE
 from dalle_mtf_tpu.models.vae import DiscreteVAE
 
 
-def _sample_token(rng, logits, temperature, top_k: int):
+_NUCLEUS_K = 256  # candidate width for top_p when top_k doesn't supply one
+
+
+def _nucleus_mask(vals, safe, top_p):
+    """Keep-mask for nucleus sampling over a DESC-sorted candidate set
+    ``vals`` [B, K]: keep candidate i while the cumulative probability of
+    the candidates before it is < top_p (the first is always kept). The
+    probabilities are the temperature-scaled softmax over the candidates —
+    the same distribution the draw uses."""
+    p = jax.nn.softmax(vals / safe, axis=-1)
+    cum_excl = jnp.cumsum(p, axis=-1) - p
+    return cum_excl < jnp.asarray(top_p, jnp.float32)[:, None]
+
+
+def _sample_token(rng, logits, temperature, top_k: int, top_p=None):
     """temperature: TRACED f32 scalar or [B] vector (per-row sampling
     params never recompile; serving exploits this). temp <= 0 on a row
     means greedy/argmax for that row. top_k stays static (the partial
     reduce needs a static k) — serving buckets it into a small set of
-    compiled executables."""
+    compiled executables. top_p (nucleus), when PRESENT, is a traced
+    [B] vector applied over the top-k candidate set (or a 256-wide
+    candidate set when top_k=0) — presence is the only static bit."""
     logits = logits.astype(jnp.float32)
     b = logits.shape[0]
     temp = jnp.broadcast_to(
         jnp.asarray(temperature, jnp.float32), (b,)
     )[:, None]
     safe = jnp.maximum(temp, 1e-6)
+    if top_p is not None:
+        k_eff = min(top_k if top_k else _NUCLEUS_K, logits.shape[-1] - 1)
+        vals, idxs = jax.lax.approx_max_k(logits, k_eff, recall_target=0.99)
+        pvec = jnp.broadcast_to(jnp.asarray(top_p, jnp.float32), (b,))
+        vals = jnp.where(_nucleus_mask(vals, safe, pvec), vals, -jnp.inf)
+        choice = jax.random.categorical(rng, vals / safe, axis=-1)
+        tok = jnp.take_along_axis(idxs, choice[..., None], axis=-1)[..., 0]
+        greedy_c = jnp.argmax(logits, axis=-1)
+        return jnp.where(temp[:, 0] <= 0.0, greedy_c, tok).astype(jnp.int32)
     if top_k:
         # approx_max_k uses the TPU's partial-reduce unit instead of a full
         # vocab sort — a full jax.lax.top_k sort was 27% of decode time at
@@ -67,12 +92,14 @@ def generate_image_tokens(
     rng: jax.Array,
     temperature=1.0,
     top_k: int = 0,
+    top_p=None,
 ) -> jax.Array:
     """text_tokens i32[B, text_seq_len] -> image token ids i32[B, image_seq_len]
     (0-based within the VAE codebook, offset already removed).
 
-    ``temperature`` is a traced operand (float, f32 scalar, or per-row [B]
-    vector) — changing it never recompiles; only a new ``top_k`` does."""
+    ``temperature`` (and ``top_p`` when given) are traced operands (float,
+    f32 scalar, or per-row [B] vector) — changing them never recompiles;
+    only a new ``top_k`` (or top_p presence) does."""
     cfg = dalle.cfg
     b = text_tokens.shape[0]
     t = cfg.text_seq_len
@@ -88,7 +115,9 @@ def generate_image_tokens(
     def step(carry, pos):
         cache_, logits_, rng_ = carry
         rng_, sub = jax.random.split(rng_)
-        tok = _sample_token(sub, logits_ + band_mask, temperature, top_k)
+        tok = _sample_token(
+            sub, logits_ + band_mask, temperature, top_k, top_p
+        )
         new_logits, cache_ = dalle.decode_step(params, cache_, tok, pos)
         return (cache_, new_logits, rng_), tok
 
@@ -98,8 +127,11 @@ def generate_image_tokens(
     return tokens.T - lo
 
 
-def _sample_token_rows(rng, logits, temperature, top_k_rows, k_max: int):
-    """Per-row sampling with a TRACED per-row ``top_k`` in one executable.
+def _sample_token_rows(
+    rng, logits, temperature, top_k_rows, k_max: int, top_p_rows=None
+):
+    """Per-row sampling with TRACED per-row ``top_k``/``top_p`` in one
+    executable.
 
     ``lax.approx_max_k`` needs a static k, so the whole-batch samplers
     bucket top_k into one executable per value (serve.BatchingSampler).
@@ -108,7 +140,10 @@ def _sample_token_rows(rng, logits, temperature, top_k_rows, k_max: int):
     ``k_max`` and each row masks candidates by RANK (approx_max_k returns
     them sorted), which makes top_k a traced [B] vector: any k in
     [1, k_max] without recompiling. k=0 rows (untruncated) sample from the
-    full-vocab categorical; temp <= 0 rows take the exact full argmax.
+    full-vocab categorical — unless that row also sets top_p < 1, which
+    needs the sorted candidate set and uses the full k_max width. Nucleus
+    (top_p) composes with the rank mask per row. temp <= 0 rows take the
+    exact full argmax.
     """
     logits = logits.astype(jnp.float32)
     b = logits.shape[0]
@@ -117,15 +152,24 @@ def _sample_token_rows(rng, logits, temperature, top_k_rows, k_max: int):
     )[:, None]
     safe = jnp.maximum(temp, 1e-6)
     ks = jnp.broadcast_to(jnp.asarray(top_k_rows, jnp.int32), (b,))[:, None]
+    ps = (
+        jnp.ones((b,), jnp.float32)
+        if top_p_rows is None
+        else jnp.broadcast_to(jnp.asarray(top_p_rows, jnp.float32), (b,))
+    )
 
+    k_max = min(k_max, logits.shape[-1] - 1)
     vals, idxs = jax.lax.approx_max_k(logits, k_max, recall_target=0.99)
     rank = jnp.arange(k_max)[None, :]
-    vals = jnp.where(rank < jnp.clip(ks, 1, k_max), vals, -jnp.inf)
+    # a k=0 row with nucleus on still needs candidates: widen it to k_max
+    k_eff = jnp.where((ks == 0) & (ps[:, None] < 1.0), k_max, ks)
+    vals = jnp.where(rank < jnp.clip(k_eff, 1, k_max), vals, -jnp.inf)
+    vals = jnp.where(_nucleus_mask(vals, safe, ps), vals, -jnp.inf)
     r_top, r_full = jax.random.split(rng)
     choice = jax.random.categorical(r_top, vals / safe, axis=-1)
     tok_topk = jnp.take_along_axis(idxs, choice[..., None], axis=-1)[..., 0]
     tok_full = jax.random.categorical(r_full, logits / safe, axis=-1)
-    tok = jnp.where(ks[:, 0] == 0, tok_full, tok_topk)
+    tok = jnp.where((ks[:, 0] == 0) & (ps >= 1.0), tok_full, tok_topk)
     greedy = jnp.argmax(logits, axis=-1)
     return jnp.where(temp[:, 0] <= 0.0, greedy, tok).astype(jnp.int32)
 
@@ -146,6 +190,7 @@ def decode_chunk(
     top_k_rows: jax.Array,
     chunk: int = 128,
     k_max: int = 256,
+    top_p_rows=None,
 ):
     """``chunk`` decode steps of a continuously-batched generation.
 
@@ -176,7 +221,8 @@ def decode_chunk(
         rng_, sub = jax.random.split(rng_)
         active = pos_ < end_pos
         tok = _sample_token_rows(
-            sub, logits_ + band_mask, temperature, top_k_rows, k_max
+            sub, logits_ + band_mask, temperature, top_k_rows, k_max,
+            top_p_rows,
         )
         pos_used = jnp.minimum(pos_, end_pos - 1)
         new_logits, cache_ = dalle.decode_step_rows(
@@ -226,12 +272,13 @@ def generate_images(
     rng: jax.Array,
     temperature=1.0,
     top_k: int = 0,
+    top_p=None,
 ) -> jax.Array:
     """Full text->pixels path. Returns f32[B, H, W, C] in [0, 1].
-    ``temperature`` may be a per-row [B] vector (traced; see
+    ``temperature``/``top_p`` may be per-row [B] vectors (traced; see
     generate_image_tokens)."""
     img_tokens = generate_image_tokens(
         dalle, dalle_params, text_tokens, rng,
-        temperature=temperature, top_k=top_k,
+        temperature=temperature, top_k=top_k, top_p=top_p,
     )
     return vae.decode_tokens(vae_params, img_tokens)

@@ -123,10 +123,11 @@ class BatchingSampler:
         return max(self.top_k_buckets)
 
     def submit(self, text_tokens, n: int = 1, temperature=None,
-               top_k=None) -> Future:
+               top_k=None, top_p=None) -> Future:
         """Enqueue one request: ``n`` images of one tokenized text
         (list[int] of length text_seq_len), with optional per-request
-        sampling params. Resolves to f32[n, H, W, C] in [0, 1]."""
+        sampling params (``top_p`` < 1 = nucleus sampling over the top-k
+        candidate set). Resolves to f32[n, H, W, C] in [0, 1]."""
         if self._closed:
             raise RuntimeError("sampler is closed")
         n = int(n)
@@ -140,12 +141,15 @@ class BatchingSampler:
         temp = self.temperature if temperature is None else float(temperature)
         if not 0.0 <= temp <= 100.0:
             raise ValueError(f"temperature {temp} out of range [0, 100]")
+        tp = 1.0 if top_p is None else float(top_p)
+        if not 0.0 < tp <= 1.0:
+            raise ValueError(f"top_p {tp} out of range (0, 1]")
         kb = self._bucket(self.top_k if top_k is None else top_k)
         fut: Future = Future()
         with self._submit_lock:
             if self._closed:  # close() may have won the race
                 raise RuntimeError("sampler is closed")
-            self._q.put((ids, n, temp, kb, fut))
+            self._q.put((ids, n, temp, kb, tp, fut))
         return fut
 
     def close(self):
@@ -166,11 +170,19 @@ class BatchingSampler:
 
     # ---------------------------------------------------------------- worker
 
+    @staticmethod
+    def _exe_key(item):
+        """Executable identity a batch must share: the top_k bucket, plus
+        whether nucleus sampling is active (top_p presence is the one
+        static bit in the sampler; its VALUE is traced per-row)."""
+        return (item[3], item[4] < 1.0)
+
     def _collect(self):
         """Block for one request, then linger briefly for batch-mates whose
-        rows still fit AND share the seed's top_k bucket. A request that
-        doesn't fit (or mismatches the bucket) is held back FIFO to seed
-        the following batches — never requeued behind later arrivals."""
+        rows still fit AND share the seed's executable (top_k bucket +
+        top_p presence). A request that doesn't fit (or mismatches) is held
+        back FIFO to seed the following batches — never requeued behind
+        later arrivals."""
         if self._holdback:
             item = self._holdback.popleft()
         else:
@@ -179,12 +191,12 @@ class BatchingSampler:
                 return None
         batch = [item]
         rows = item[1]
-        bucket = item[3]
+        key = self._exe_key(item)
         # older held-back requests first (strict FIFO: stop at the first
         # that can't join, so arrival order is preserved)
         while self._holdback:
             nxt = self._holdback[0]
-            if nxt[3] != bucket or rows + nxt[1] > self.batch_size:
+            if self._exe_key(nxt) != key or rows + nxt[1] > self.batch_size:
                 break
             batch.append(self._holdback.popleft())
             rows += nxt[1]
@@ -200,7 +212,7 @@ class BatchingSampler:
             if nxt is None:
                 self._q.put(None)  # re-deliver shutdown to the outer loop
                 break
-            if nxt[3] != bucket:
+            if self._exe_key(nxt) != key:
                 self._holdback.append(nxt)  # different executable: next batch
                 continue
             if rows + nxt[1] > self.batch_size:
@@ -219,27 +231,31 @@ class BatchingSampler:
                 return
             rows = np.zeros((b, t_len), np.int32)
             temps = np.full((b,), 1.0, np.float32)
-            bucket = batch[0][3]
+            topps = np.ones((b,), np.float32)
+            bucket, use_top_p = self._exe_key(batch[0])
             r = 0
-            for ids, n, temp, _kb, _fut in batch:
+            for ids, n, temp, _kb, tp, _fut in batch:
                 rows[r:r + n] = np.asarray(ids, np.int32)
                 temps[r:r + n] = temp
+                topps[r:r + n] = tp
                 r += n
             self._batch_counter += 1
             rng = jax.random.fold_in(self._rng, self._batch_counter)
             t0 = time.perf_counter()
             err = None
             imgs = None
-            retries = self.max_retries if bucket in self._proven_buckets else 0
+            exe = (bucket, use_top_p)
+            retries = self.max_retries if exe in self._proven_buckets else 0
             for attempt in range(1 + retries):
                 try:
                     imgs = self._generate(
                         self.dalle, self._params[0], self.vae,
                         self._params[1], jnp.asarray(rows), rng,
                         temperature=jnp.asarray(temps), top_k=bucket,
+                        top_p=jnp.asarray(topps) if use_top_p else None,
                     )
                     imgs = np.asarray(jax.device_get(imgs))
-                    self._proven_buckets.add(bucket)
+                    self._proven_buckets.add(exe)
                     err = None
                     break
                 except Exception as e:
@@ -254,17 +270,17 @@ class BatchingSampler:
                             attempt + 1, e,
                         )
             if err is not None:  # surface failures to every waiter
-                for _ids, _n, _t, _kb, fut in batch:
+                for *_rest, fut in batch:
                     if not fut.cancelled():
                         fut.set_exception(err)
                 continue
             dt = time.perf_counter() - t0
             logger.info(
-                "batch of %d request(s) / %d row(s) top_k=%d in %.2fs",
-                len(batch), r, bucket, dt,
+                "batch of %d request(s) / %d row(s) top_k=%d%s in %.2fs",
+                len(batch), r, bucket, " +top_p" if use_top_p else "", dt,
             )
             r = 0
-            for _ids, n, _t, _kb, fut in batch:
+            for _ids, n, _t, _kb, _tp, fut in batch:
                 if not fut.cancelled():
                     fut.set_result(imgs[r:r + n])
                 r += n
@@ -354,8 +370,10 @@ class ContinuousBatchingSampler:
         return k
 
     def submit(self, text_tokens, n: int = 1, temperature=None,
-               top_k=None) -> Future:
-        """Same contract as BatchingSampler.submit."""
+               top_k=None, top_p=None) -> Future:
+        """Same contract as BatchingSampler.submit. ``top_p`` is fully
+        traced per-row here (nucleus over the k_max candidate set) — no
+        executable split at all."""
         if self._closed:
             raise RuntimeError("sampler is closed")
         n = int(n)
@@ -369,6 +387,9 @@ class ContinuousBatchingSampler:
         temp = self.temperature if temperature is None else float(temperature)
         if not 0.0 <= temp <= 100.0:
             raise ValueError(f"temperature {temp} out of range [0, 100]")
+        tp = 1.0 if top_p is None else float(top_p)
+        if not 0.0 < tp <= 1.0:
+            raise ValueError(f"top_p {tp} out of range (0, 1]")
         k = self._effective_top_k(top_k)
         fut: Future = Future()
         group = {"fut": fut, "need": n, "images": [None] * n}
@@ -376,7 +397,7 @@ class ContinuousBatchingSampler:
             if self._closed:
                 raise RuntimeError("sampler is closed")
             for i in range(n):
-                self._q.put((ids, temp, k, group, i))
+                self._q.put((ids, temp, k, tp, group, i))
         return fut
 
     def close(self):
@@ -398,6 +419,7 @@ class ContinuousBatchingSampler:
         self._rng = jax.random.PRNGKey(self._seed)
         self._temps = np.full((b,), 1.0, np.float32)
         self._topks = np.zeros((b,), np.int32)
+        self._topps = np.ones((b,), np.float32)
         # per-slot host bookkeeping: None = free
         self._slot: list[dict | None] = [None] * b
         self._slot_tokens: list[list[int]] = [[] for _ in range(b)]
@@ -440,7 +462,7 @@ class ContinuousBatchingSampler:
                 break
             if item is None:
                 return None
-            ids, temp, k, group, idx = item
+            ids, temp, k, tp, group, idx = item
             slot = free.pop(0)
             self._slot[slot] = {
                 "ids": ids, "group": group, "idx": idx, "t0": time.perf_counter(),
@@ -448,6 +470,7 @@ class ContinuousBatchingSampler:
             self._slot_tokens[slot] = []
             self._temps[slot] = temp
             self._topks[slot] = k
+            self._topps[slot] = tp
             admitted.append(slot)
             if not free:
                 break
@@ -518,6 +541,7 @@ class ContinuousBatchingSampler:
                     self._positions, self._rng,
                     jnp.asarray(self._temps), jnp.asarray(self._topks),
                     chunk=self.chunk, k_max=self.k_max,
+                    top_p_rows=jnp.asarray(self._topps),
                 )
                 tokens = np.asarray(jax.device_get(tokens))
                 active = np.asarray(jax.device_get(active))
@@ -596,9 +620,10 @@ def make_server(sampler: BatchingSampler | ContinuousBatchingSampler,
                 )
                 temp = req.get("temperature")
                 top_k = req.get("top_k")
+                top_p = req.get("top_p")
                 t0 = time.perf_counter()
                 imgs = sampler.submit(
-                    ids, n, temperature=temp, top_k=top_k
+                    ids, n, temperature=temp, top_k=top_k, top_p=top_p
                 ).result(timeout=timeout_s)
                 self._reply(200, {
                     "images": [_png_b64(im) for im in imgs],

@@ -36,6 +36,9 @@ def parse_args():
     parser.add_argument("--out", type=str, default="samples")
     parser.add_argument("--temperature", type=float, default=1.0)
     parser.add_argument("--top_k", type=int, default=0)
+    parser.add_argument("--top_p", type=float, default=None,
+                        help="nucleus sampling: keep the smallest candidate "
+                             "set with cumulative probability >= top_p")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument(
         "--quantize", choices=("none", "int8", "int4"), default=None,
@@ -125,7 +128,7 @@ def main():
     imgs = generate_images(
         dalle, dalle_params, vae, vae_params, text,
         jax.random.PRNGKey(args.seed),
-        temperature=args.temperature, top_k=args.top_k,
+        temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
     )
     imgs = np.asarray(jax.device_get(imgs))
     dt = time.time() - t0

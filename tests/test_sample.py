@@ -97,3 +97,57 @@ def test_local_attention_incremental_matches_parallel():
             np.asarray(logits_i), np.asarray(full_logits[:, pos]),
             atol=2e-4, err_msg=f"pos={pos}",
         )
+
+
+class TestTopP:
+    """Nucleus sampling: a traced per-row top_p over the candidate set."""
+
+    def _setup(self):
+        model = DALLE(CFG)
+        params = model.init(jax.random.PRNGKey(0))
+        text = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, 40)
+        return model, params, text
+
+    def test_top_p_one_is_identity_with_top_k(self):
+        """top_p=1.0 keeps every candidate, so the draw (same rng, same
+        candidate set) is bit-identical to the plain top_k path."""
+        model, params, text = self._setup()
+        plain = generate_image_tokens(
+            model, params, text, jax.random.PRNGKey(2),
+            temperature=1.0, top_k=4,
+        )
+        nucleus = generate_image_tokens(
+            model, params, text, jax.random.PRNGKey(2),
+            temperature=1.0, top_k=4, top_p=jnp.ones((2,)),
+        )
+        np.testing.assert_array_equal(np.asarray(plain), np.asarray(nucleus))
+
+    def test_tiny_top_p_is_greedy(self):
+        """top_p -> 0 keeps only the top candidate: sampling at temp 1
+        collapses to the greedy sequence (vocab is small enough here that
+        the candidate reduce is exact)."""
+        model, params, text = self._setup()
+        greedy = generate_image_tokens(
+            model, params, text, jax.random.PRNGKey(2), temperature=0.0
+        )
+        nucleus = generate_image_tokens(
+            model, params, text, jax.random.PRNGKey(3),  # different rng!
+            temperature=1.0, top_k=0, top_p=1e-6,
+        )
+        np.testing.assert_array_equal(np.asarray(greedy), np.asarray(nucleus))
+
+    def test_per_row_top_p_mixes(self):
+        """One row nucleus-tight (== its greedy row), one row wide open —
+        one executable, per-row behavior."""
+        model, params, text = self._setup()
+        greedy = generate_image_tokens(
+            model, params, text, jax.random.PRNGKey(2), temperature=0.0
+        )
+        mixed = generate_image_tokens(
+            model, params, text, jax.random.PRNGKey(5),
+            temperature=1.0, top_k=0, top_p=jnp.asarray([1e-6, 1.0]),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(greedy)[0], np.asarray(mixed)[0]
+        )
+        assert int(mixed.min()) >= 0 and int(mixed.max()) < CFG.image_vocab_size

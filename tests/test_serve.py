@@ -322,3 +322,25 @@ def test_stats_endpoint(sampler):
         assert "batches_done" in st and "queue_depth" in st
     finally:
         srv.shutdown()
+
+
+class TestTopP:
+    def test_exe_key_groups_by_top_p_presence(self, sampler):
+        """top_p's VALUE is traced per-row, but its PRESENCE is a static
+        bit of the executable — batches must not mix the two."""
+        key = BatchingSampler._exe_key
+        a = ([1, 0, 0, 0], 1, 1.0, 4, 1.0, None)   # no nucleus
+        b = ([1, 0, 0, 0], 1, 1.0, 4, 0.9, None)   # nucleus
+        c = ([1, 0, 0, 0], 1, 0.5, 4, 0.7, None)   # nucleus, other values
+        assert key(a) != key(b)
+        assert key(b) == key(c)
+
+    def test_top_p_request_roundtrips(self, sampler):
+        imgs = sampler.submit(
+            [1, 2, 3, 0], n=1, temperature=0.9, top_p=0.8
+        ).result(timeout=240)
+        assert imgs.shape == (1, 8, 8, 3)
+        with pytest.raises(ValueError):
+            sampler.submit([1, 2, 3, 0], n=1, top_p=0.0)
+        with pytest.raises(ValueError):
+            sampler.submit([1, 2, 3, 0], n=1, top_p=1.5)

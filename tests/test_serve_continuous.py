@@ -127,8 +127,9 @@ class TestEngineBehavior:
             futs = [
                 s.submit([1, 0, 0, 0], n=2, temperature=0.7, top_k=3),
                 s.submit([2, 0, 0, 0], n=1, temperature=0.0),
-                s.submit([3, 0, 0, 0], n=1, top_k=0),
-                s.submit([4, 0, 0, 0], n=2, temperature=1.3, top_k=8),
+                s.submit([3, 0, 0, 0], n=1, top_k=0, top_p=0.9),
+                s.submit([4, 0, 0, 0], n=2, temperature=1.3, top_k=8,
+                         top_p=0.5),
             ]
             done, not_done = wait(futs, timeout=240)
             assert not not_done
