@@ -43,6 +43,8 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
+_DRAIN = object()  # graceful-shutdown sentinel (vs None = hard stop)
+
 
 class BatchingSampler:
     """Queue + worker around one compiled ``generate_images`` executable."""
@@ -157,6 +159,15 @@ class BatchingSampler:
             self._closed = True
             self._q.put(None)
         self._worker.join(timeout=30)
+
+    def drain(self, timeout: float | None = None):
+        """Graceful shutdown for deploys: stop accepting, serve everything
+        already queued (the shutdown sentinel is FIFO behind it, and the
+        worker empties the holdback before reading it), then stop."""
+        with self._submit_lock:
+            self._closed = True
+            self._q.put(None)
+        self._worker.join(timeout=timeout)
 
     def stats(self) -> dict:
         """Live engine counters (served by the HTTP /stats endpoint)."""
@@ -351,6 +362,7 @@ class ContinuousBatchingSampler:
         self._seed = seed
         self._q: queue.Queue = queue.Queue()
         self._closed = False
+        self._draining = False
         self._submit_lock = threading.Lock()
         self._reset_state()
         self._worker = threading.Thread(target=self._run, daemon=True)
@@ -401,10 +413,20 @@ class ContinuousBatchingSampler:
         return fut
 
     def close(self):
+        """Hard stop: in-flight generations get RuntimeError."""
         with self._submit_lock:
             self._closed = True
             self._q.put(None)
         self._worker.join(timeout=30)
+
+    def drain(self, timeout: float | None = None):
+        """Graceful shutdown: stop accepting, run the engine until every
+        queued request has been admitted, generated, and resolved, then
+        stop. (close() by contrast fails in-flight work immediately.)"""
+        with self._submit_lock:
+            self._closed = True
+            self._q.put(_DRAIN)
+        self._worker.join(timeout=timeout)
 
     # ---------------------------------------------------------------- engine
 
@@ -457,11 +479,16 @@ class ContinuousBatchingSampler:
         admitted = []
         while free:
             try:
-                item = self._q.get(block=idle and not admitted)
+                item = self._q.get(
+                    block=idle and not admitted and not self._draining
+                )
             except queue.Empty:
                 break
             if item is None:
                 return None
+            if item is _DRAIN:
+                self._draining = True
+                continue  # everything queued before it still gets served
             ids, temp, k, tp, group, idx = item
             slot = free.pop(0)
             self._slot[slot] = {
@@ -533,6 +560,8 @@ class ContinuousBatchingSampler:
                 self._fail_all(RuntimeError("sampler is closed"))
                 return
             if all(s is None for s in self._slot):
+                if self._draining and self._q.empty():
+                    return  # drained: everything served, nothing queued
                 continue  # woke on shutdown race or spurious empty
             try:
                 (self._cache, self._logits, self._positions, self._rng,

@@ -133,7 +133,8 @@ def main():
         pass
     finally:
         server.shutdown()
-        sampler.close()
+        # graceful: resolve every already-accepted request before exiting
+        sampler.drain(timeout=300)
 
 
 if __name__ == "__main__":

@@ -344,3 +344,20 @@ class TestTopP:
             sampler.submit([1, 2, 3, 0], n=1, top_p=0.0)
         with pytest.raises(ValueError):
             sampler.submit([1, 2, 3, 0], n=1, top_p=1.5)
+
+
+def test_drain_serves_queued_then_stops():
+    """Whole-batch drain(): the shutdown sentinel is FIFO behind queued
+    requests, so everything submitted before drain resolves."""
+    dalle = DALLE(CFG)
+    vae = DiscreteVAE(VAEConfig.from_params(VAE_PARAMS))
+    s = BatchingSampler(
+        dalle, dalle.init(jax.random.PRNGKey(0)),
+        vae, vae.init(jax.random.PRNGKey(1)),
+        batch_size=2, top_k=4, linger_ms=5.0,
+    )
+    futs = [s.submit([i, 0, 0, 0], n=1) for i in range(5)]
+    s.drain(timeout=240)
+    assert not s._worker.is_alive()
+    for f in futs:
+        assert f.result(timeout=1).shape == (1, 8, 8, 3)

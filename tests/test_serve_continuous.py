@@ -208,3 +208,21 @@ class TestCancellationAndStats:
             assert s.stats()["chunks_done"] >= 1
         finally:
             s.close()
+
+
+def test_drain_serves_queued_then_stops(models):
+    """drain(): queued requests (even beyond slot capacity) all resolve,
+    then the worker exits; close() by contrast fails in-flight work."""
+    dalle, dparams, vae, vparams = models
+    s = ContinuousBatchingSampler(
+        dalle, dparams, vae, vparams,
+        batch_size=1, temperature=0.0, top_k=0, chunk=4, k_max=8,
+    )
+    f1 = s.submit([1, 2, 3, 0], n=1)
+    f2 = s.submit([4, 5, 6, 0], n=1)  # queued behind f1 (one slot)
+    s.drain(timeout=240)
+    assert not s._worker.is_alive()
+    assert f1.result(timeout=1).shape == (1, 8, 8, 3)
+    assert f2.result(timeout=1).shape == (1, 8, 8, 3)
+    with pytest.raises(RuntimeError):
+        s.submit([1, 2, 3, 0], n=1)
