@@ -832,33 +832,49 @@ class DALLE:
         """Run the prompt through the model, filling cache[:, :, :S].
 
         Returns (logits at the last position [B, vocab] fp32, cache).
+        Delegates to prefill_rows with a constant all-rows mask (XLA folds
+        the constant-true select; one prompt-pass body to maintain).
         """
+        return self.prefill_rows(
+            params, tokens, cache, jnp.ones((tokens.shape[0],), bool)
+        )
+
+    def _decode_step_impl(
+        self, params, cache: dict, token, pos_embed_idx, write, pos_b
+    ) -> tuple[jax.Array, dict]:
+        """Shared one-token decode body: ``write(cache, new)`` scatters the
+        step's k/v (uniform slice or per-row — the ONLY thing that differs
+        between decode_step and decode_step_rows), ``pos_b`` is the
+        attention-mask position (scalar or [B,1,1,1])."""
         cfg = self.cfg
         dtype = cfg.policy.compute_dtype
-        s = tokens.shape[1]
-        x = params["wte"].astype(dtype)[tokens] + params["wpe"].astype(dtype)[:s]
+        x = params["wte"].astype(dtype)[token]  # [B, E]
+        # position embedding: reference gathers wpe at context.position - 1 in
+        # incremental mode (models.py:212-213) where position is 1-indexed;
+        # ours is 0-indexed.
+        x = x + params["wpe"].astype(dtype)[pos_embed_idx]
+        x = x[:, None, :]  # [B, 1, E]
 
         def body(x_, scanned):
-            (p,) = scanned
+            p, k_cache, v_cache = scanned
             a_in = self._layer_norm(x_, p["ln1_g"], p["ln1_b"])
-            q, k, v = self._qkv(p, a_in)
-            a = causal_attention(q, k, v, window=self._window)
+            q, k_new, v_new = self._qkv(p, a_in)
+            k_cache = write(k_cache, k_new.astype(k_cache.dtype))
+            v_cache = write(v_cache, v_new.astype(v_cache.dtype))
+            a = decode_attention(
+                q, k_cache, v_cache, pos_b, window=self._window
+            )
             x_ = x_ + self._attn_out(p, a)
             m_in = self._layer_norm(x_, p["ln2_g"], p["ln2_b"])
             x_ = x_ + self._mlp(p, m_in)
-            return x_, (k, v)
+            return x_, (k_cache, v_cache)
 
-        x, (ks, vs) = jax.lax.scan(body, x, (params["layers"],))
-        cache = {
-            "k": jax.lax.dynamic_update_slice(
-                cache["k"], ks.astype(cache["k"].dtype), (0, 0, 0, 0, 0)
-            ),
-            "v": jax.lax.dynamic_update_slice(
-                cache["v"], vs.astype(cache["v"].dtype), (0, 0, 0, 0, 0)
-            ),
-        }
-        x = self._layer_norm(x, params["lnf_g"], params["lnf_b"])
-        return self._last_logits(params, x[:, -1]), cache
+        x, (new_k, new_v) = jax.lax.scan(
+            body, x, (params["layers"], cache["k"], cache["v"])
+        )
+        cache = {"k": new_k, "v": new_v}
+        x = self._layer_norm(x[:, 0], params["lnf_g"], params["lnf_b"])
+        return self._last_logits(params, x), cache
 
     def decode_step(
         self, params, cache: dict, token: jax.Array, position: jax.Array
@@ -869,38 +885,13 @@ class DALLE:
         (one-hot scatter into cached k/v, models.py:246-254 — here a
         dynamic_update_slice, which XLA lowers to an in-place DMA).
         """
-        cfg = self.cfg
-        dtype = cfg.policy.compute_dtype
-        b = token.shape[0]
-        x = params["wte"].astype(dtype)[token]  # [B, E]
-        # position embedding: reference gathers wpe at context.position - 1 in
-        # incremental mode (models.py:212-213) where position is 1-indexed;
-        # ours is 0-indexed.
-        x = x + params["wpe"].astype(dtype)[position]
-        x = x[:, None, :]  # [B, 1, E]
 
-        def body(x_, scanned):
-            p, k_cache, v_cache = scanned
-            a_in = self._layer_norm(x_, p["ln1_g"], p["ln1_b"])
-            q, k_new, v_new = self._qkv(p, a_in)
-            k_cache = jax.lax.dynamic_update_slice(
-                k_cache, k_new.astype(k_cache.dtype), (0, 0, position, 0)
-            )
-            v_cache = jax.lax.dynamic_update_slice(
-                v_cache, v_new.astype(v_cache.dtype), (0, 0, position, 0)
-            )
-            a = decode_attention(
-                q, k_cache, v_cache, position, window=self._window
-            )
-            x_ = x_ + self._attn_out(p, a)
-            m_in = self._layer_norm(x_, p["ln2_g"], p["ln2_b"])
-            x_ = x_ + self._mlp(p, m_in)
-            return x_, (k_cache, v_cache)
+        def write(c, n):  # all rows at the same position: one plain DUS
+            return jax.lax.dynamic_update_slice(c, n, (0, 0, position, 0))
 
-        x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], cache["k"], cache["v"]))
-        cache = {"k": new_k, "v": new_v}
-        x = self._layer_norm(x[:, 0], params["lnf_g"], params["lnf_b"])
-        return self._last_logits(params, x), cache
+        return self._decode_step_impl(
+            params, cache, token, position, write, position
+        )
 
     # ------------------------------------------- per-row (continuous) decode
 
@@ -916,37 +907,16 @@ class DALLE:
         The cache write is a per-row dynamic_update_slice (vmapped over the
         batch); the attention mask broadcasts the position vector.
         Identical math to ``decode_step`` when all positions agree (the
-        greedy-equivalence tests pin that).
+        greedy-equivalence tests pin that) — both share _decode_step_impl.
         """
-        cfg = self.cfg
-        dtype = cfg.policy.compute_dtype
-        x = params["wte"].astype(dtype)[token]  # [B, E]
-        x = x + params["wpe"].astype(dtype)[positions]  # per-row gather
-        x = x[:, None, :]  # [B, 1, E]
-        pos_b = positions[:, None, None, None]  # [B,1,1,1] for broadcasting
-
-        row_update = jax.vmap(
+        write = jax.vmap(
             lambda c, n, p: jax.lax.dynamic_update_slice(c, n, (0, p, 0))
         )  # [B,H,S,D], [B,H,1,D], [B] -> per-row scatter at its own position
-
-        def body(x_, scanned):
-            p, k_cache, v_cache = scanned
-            a_in = self._layer_norm(x_, p["ln1_g"], p["ln1_b"])
-            q, k_new, v_new = self._qkv(p, a_in)
-            k_cache = row_update(k_cache, k_new.astype(k_cache.dtype), positions)
-            v_cache = row_update(v_cache, v_new.astype(v_cache.dtype), positions)
-            a = decode_attention(q, k_cache, v_cache, pos_b, window=self._window)
-            x_ = x_ + self._attn_out(p, a)
-            m_in = self._layer_norm(x_, p["ln2_g"], p["ln2_b"])
-            x_ = x_ + self._mlp(p, m_in)
-            return x_, (k_cache, v_cache)
-
-        x, (new_k, new_v) = jax.lax.scan(
-            body, x, (params["layers"], cache["k"], cache["v"])
+        return self._decode_step_impl(
+            params, cache, token, positions,
+            lambda c, n: write(c, n, positions),
+            positions[:, None, None, None],
         )
-        cache = {"k": new_k, "v": new_v}
-        x = self._layer_norm(x[:, 0], params["lnf_g"], params["lnf_b"])
-        return self._last_logits(params, x), cache
 
     def prefill_rows(
         self, params, tokens: jax.Array, cache: dict, row_mask: jax.Array

@@ -35,6 +35,7 @@ import queue
 import threading
 import time
 from concurrent.futures import Future
+from concurrent.futures import TimeoutError as FuturesTimeoutError
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import jax
@@ -44,6 +45,23 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 _DRAIN = object()  # graceful-shutdown sentinel (vs None = hard stop)
+
+
+def _safe_resolve(fut: Future, result=None, exc=None) -> bool:
+    """Resolve a Future exactly once, racing client-side cancel() (these
+    futures never enter RUNNING, so cancel can win at ANY point before
+    resolution — an unguarded set_result/set_exception then raises
+    InvalidStateError and kills the worker thread)."""
+    try:
+        if fut.cancelled() or fut.done():
+            return False
+        if exc is not None:
+            fut.set_exception(exc)
+        else:
+            fut.set_result(result)
+        return True
+    except Exception:  # InvalidStateError: lost the race — request is dead
+        return False
 
 
 class BatchingSampler:
@@ -155,15 +173,15 @@ class BatchingSampler:
         return fut
 
     def close(self):
-        with self._submit_lock:
-            self._closed = True
-            self._q.put(None)
-        self._worker.join(timeout=30)
+        """Shutdown. For THIS engine close already drains: the sentinel is
+        FIFO behind queued requests and the worker empties the holdback
+        before reading it — only the join is bounded. (The continuous
+        engine's close() is a hard stop; its drain() is the graceful one.)"""
+        self.drain(timeout=30)
 
     def drain(self, timeout: float | None = None):
         """Graceful shutdown for deploys: stop accepting, serve everything
-        already queued (the shutdown sentinel is FIFO behind it, and the
-        worker empties the holdback before reading it), then stop."""
+        already queued, then stop."""
         with self._submit_lock:
             self._closed = True
             self._q.put(None)
@@ -282,8 +300,7 @@ class BatchingSampler:
                         )
             if err is not None:  # surface failures to every waiter
                 for *_rest, fut in batch:
-                    if not fut.cancelled():
-                        fut.set_exception(err)
+                    _safe_resolve(fut, exc=err)
                 continue
             dt = time.perf_counter() - t0
             logger.info(
@@ -292,8 +309,7 @@ class BatchingSampler:
             )
             r = 0
             for _ids, n, _t, _kb, _tp, fut in batch:
-                if not fut.cancelled():
-                    fut.set_result(imgs[r:r + n])
+                _safe_resolve(fut, result=imgs[r:r + n])
                 r += n
 
 
@@ -438,7 +454,13 @@ class ContinuousBatchingSampler:
         self._logits = jnp.zeros((b, cfg.total_tokens), jnp.float32)
         # parked at the end: no slot advances until something is admitted
         self._positions = jnp.full((b,), self._end_pos, jnp.int32)
-        self._rng = jax.random.PRNGKey(self._seed)
+        # fold a monotone counter in so a failure reset doesn't replay the
+        # exact sampling stream (two identical requests before/after a
+        # reset must not get bit-identical "random" images)
+        self._resets = getattr(self, "_resets", -1) + 1
+        self._rng = jax.random.fold_in(
+            jax.random.PRNGKey(self._seed), self._resets
+        )
         self._temps = np.full((b,), 1.0, np.float32)
         self._topks = np.zeros((b,), np.int32)
         self._topps = np.ones((b,), np.float32)
@@ -447,9 +469,13 @@ class ContinuousBatchingSampler:
         self._slot_tokens: list[list[int]] = [[] for _ in range(b)]
 
     def _fail_all(self, err: Exception):
+        # one set_exception per GROUP — an n>1 request's rows share one
+        # Future, and resolving it twice would raise out of the worker
+        seen: set[int] = set()
         for s in self._slot:
-            if s is not None and not s["group"]["fut"].cancelled():
-                s["group"]["fut"].set_exception(err)
+            if s is not None and id(s["group"]) not in seen:
+                seen.add(id(s["group"]))
+                _safe_resolve(s["group"]["fut"], exc=err)
         self._reset_state()
 
     def _reap_cancelled(self):
@@ -490,6 +516,9 @@ class ContinuousBatchingSampler:
                 self._draining = True
                 continue  # everything queued before it still gets served
             ids, temp, k, tp, group, idx = item
+            if group["fut"].cancelled() or group["fut"].done():
+                continue  # cancelled while queued / group already failed:
+                # don't burn a prefill + chunk on an undeliverable row
             slot = free.pop(0)
             self._slot[slot] = {
                 "ids": ids, "group": group, "idx": idx, "t0": time.perf_counter(),
@@ -538,8 +567,7 @@ class ContinuousBatchingSampler:
             self._slot[slot] = None
             self._slot_tokens[slot] = []
             if all(im is not None for im in g["images"]):
-                if not g["fut"].cancelled():
-                    g["fut"].set_result(np.stack(g["images"]))
+                _safe_resolve(g["fut"], result=np.stack(g["images"]))
 
     def stats(self) -> dict:
         """Live engine counters (served by the HTTP /stats endpoint)."""
@@ -553,17 +581,23 @@ class ContinuousBatchingSampler:
         }
 
     def _run(self):
+        # EVERY device call (admit prefill, chunk, VAE decode) and the host
+        # bookkeeping sit under one guard: the executables donate their
+        # state buffers, so any failure leaves nothing to retry from —
+        # the documented policy is fail-everyone + reset, and an unguarded
+        # exception here would instead kill the worker thread and hang
+        # every outstanding Future forever.
         while True:
-            self._reap_cancelled()  # freed slots admit new work right away
-            got = self._admit()
-            if got is None:
-                self._fail_all(RuntimeError("sampler is closed"))
-                return
-            if all(s is None for s in self._slot):
-                if self._draining and self._q.empty():
-                    return  # drained: everything served, nothing queued
-                continue  # woke on shutdown race or spurious empty
             try:
+                self._reap_cancelled()  # freed slots admit work right away
+                got = self._admit()
+                if got is None:
+                    self._fail_all(RuntimeError("sampler is closed"))
+                    return
+                if all(s is None for s in self._slot):
+                    if self._draining and self._q.empty():
+                        return  # drained: everything served, nothing queued
+                    continue  # woke on shutdown race or spurious empty
                 (self._cache, self._logits, self._positions, self._rng,
                  tokens, active) = self._decode_chunk(
                     self.dalle, self._params[0], self._cache, self._logits,
@@ -575,21 +609,19 @@ class ContinuousBatchingSampler:
                 tokens = np.asarray(jax.device_get(tokens))
                 active = np.asarray(jax.device_get(active))
                 self._chunks_done += 1
+                finished = []
+                for slot, s in enumerate(self._slot):
+                    if s is None:
+                        continue
+                    emitted = tokens[active[:, slot], slot]
+                    self._slot_tokens[slot].extend(emitted.tolist())
+                    if len(self._slot_tokens[slot]) >= self.dalle.cfg.image_seq_len:
+                        finished.append(slot)
+                if finished:
+                    self._finish_rows(finished)
             except Exception as e:
-                # donated state is gone — no retry possible; surface + reset
-                logger.exception("decode chunk failed; resetting engine")
+                logger.exception("engine step failed; resetting")
                 self._fail_all(e)
-                continue
-            finished = []
-            for slot, s in enumerate(self._slot):
-                if s is None:
-                    continue
-                emitted = tokens[active[:, slot], slot]
-                self._slot_tokens[slot].extend(emitted.tolist())
-                if len(self._slot_tokens[slot]) >= self.dalle.cfg.image_seq_len:
-                    finished.append(slot)
-            if finished:
-                self._finish_rows(finished)
 
 
 # ------------------------------------------------------------------- HTTP
@@ -651,9 +683,18 @@ def make_server(sampler: BatchingSampler | ContinuousBatchingSampler,
                 top_k = req.get("top_k")
                 top_p = req.get("top_p")
                 t0 = time.perf_counter()
-                imgs = sampler.submit(
+                fut = sampler.submit(
                     ids, n, temperature=temp, top_k=top_k, top_p=top_p
-                ).result(timeout=timeout_s)
+                )
+                try:
+                    imgs = fut.result(timeout=timeout_s)
+                except FuturesTimeoutError:
+                    # cancel so the engine stops spending capacity on a
+                    # request whose client already got an error (the
+                    # continuous engine reaps the slot at the next chunk)
+                    fut.cancel()
+                    self._reply(504, {"error": f"timed out after {timeout_s}s"})
+                    return
                 self._reply(200, {
                     "images": [_png_b64(im) for im in imgs],
                     "latency_s": round(time.perf_counter() - t0, 3),

@@ -226,3 +226,33 @@ def test_drain_serves_queued_then_stops(models):
     assert f2.result(timeout=1).shape == (1, 8, 8, 3)
     with pytest.raises(RuntimeError):
         s.submit([1, 2, 3, 0], n=1)
+
+
+def test_failure_with_multirow_group_resets_and_recovers(models):
+    """A device failure while an n>1 group is in flight: the group's SHARED
+    Future gets the error exactly once (a double set_exception would kill
+    the worker), the engine resets, and the next request is served."""
+    dalle, dparams, vae, vparams = models
+    s = ContinuousBatchingSampler(
+        dalle, dparams, vae, vparams,
+        batch_size=2, temperature=0.0, top_k=0, chunk=4, k_max=8,
+    )
+    real = s._decode_chunk
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("boom")
+        return real(*a, **kw)
+
+    s._decode_chunk = flaky
+    try:
+        f = s.submit([1, 2, 3, 0], n=2)  # both slots share one Future
+        with pytest.raises(RuntimeError, match="boom"):
+            f.result(timeout=240)
+        assert s._worker.is_alive()  # worker survived the failure
+        got = s.submit([4, 5, 6, 0], n=1).result(timeout=240)[0]
+        np.testing.assert_array_equal(got, _solo_greedy(models, [4, 5, 6, 0]))
+    finally:
+        s.close()
