@@ -59,4 +59,8 @@ BENCH_SERVE_ARRIVAL_MS=300 timeout 2400 python bench_serve.py 2>&1 | tail -1
 echo "=== serve CONTINUOUS burst (all at once) ==="
 BENCH_SERVE_CONTINUOUS=1 timeout 2400 python bench_serve.py 2>&1 | tail -1
 
+echo "=== decode per-row (continuous path) overhead vs whole-scan ==="
+BENCH_DECODE_ROWS=1 timeout 1200 python bench_decode.py 2>&1 | tail -1
+BENCH_DECODE_ROWS=1 BENCH_DECODE_CHUNK=256 timeout 1200 python bench_decode.py 2>&1 | tail -1
+
 echo "=== drive r3b done ==="

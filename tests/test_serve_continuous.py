@@ -256,3 +256,48 @@ def test_failure_with_multirow_group_resets_and_recovers(models):
         np.testing.assert_array_equal(got, _solo_greedy(models, [4, 5, 6, 0]))
     finally:
         s.close()
+
+
+def test_http_server_over_continuous_engine(models):
+    """make_server works unchanged over the continuous engine (same submit
+    contract): /generate with per-request params, /stats, /healthz."""
+    import json as json_mod
+    import threading
+    import urllib.request
+
+    dalle, dparams, vae, vparams = models
+    s = ContinuousBatchingSampler(
+        dalle, dparams, vae, vparams, batch_size=2, chunk=4, k_max=8,
+    )
+
+    class Tok:
+        pad_token_id = 47
+
+        def encode(self, text):
+            return [min(ord(c), 46) for c in text]
+
+    from dalle_mtf_tpu.serve import make_server
+
+    srv = make_server(s, Tok(), CFG.text_seq_len, host="127.0.0.1", port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json_mod.dumps({
+                "text": "ab", "n": 2, "temperature": 0.8,
+                "top_k": 4, "top_p": 0.9,
+            }).encode(),
+        )
+        with urllib.request.urlopen(req, timeout=240) as r:
+            out = json_mod.loads(r.read())
+        assert len(out["images"]) == 2
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stats", timeout=30
+        ) as r:
+            st = json_mod.loads(r.read())
+        assert st["engine"] == "continuous"
+    finally:
+        srv.shutdown()
+        s.close()
