@@ -91,7 +91,14 @@ def get_optimizer(
     Config keys honored (same schema as the reference): ``optimizer``
     ("adam"|"adafactor"), ``lr``, ``lr_decay``, ``lr_decay_end``,
     ``warmup_steps``, ``gradient_clipping``, ``weight_decay``, ``beta_1``,
-    ``beta_2``, ``epsilon``.
+    ``beta_2``, ``epsilon``. New (beyond the reference):
+    ``skip_nonfinite_updates`` — an int N > 0 wraps the whole chain in
+    ``optax.apply_if_finite``: a step whose gradients contain NaN/inf is
+    SKIPPED (params and inner optimizer state untouched) rather than
+    poisoning the run, up to N consecutive skips before the bad updates
+    are applied anyway (surfacing the divergence instead of silently
+    freezing). Production guard for loss spikes at 12B scale; the
+    reference would NaN the whole parameter tree.
     """
     schedule = lr_schedule(params)
     name = (params.get("optimizer") or "adam").lower()
@@ -128,4 +135,8 @@ def get_optimizer(
         )
     else:
         raise ValueError(f"{name} not recognized")
-    return optax.chain(*chain), schedule
+    tx = optax.chain(*chain)
+    skip = params.get("skip_nonfinite_updates")
+    if skip:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=int(skip))
+    return tx, schedule

@@ -3,6 +3,7 @@ import itertools
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 import pytest
 
 from dalle_mtf_tpu.train.optim import decay_mask, get_optimizer, lr_schedule
@@ -500,3 +501,31 @@ def test_keep_checkpoint_every_n_hours_option(tmp_path):
     )
     assert trainer2.ckpt_mngr._options.keep_time_interval is None
     trainer2.close()
+
+
+def test_skip_nonfinite_updates_guards_params():
+    """skip_nonfinite_updates=N: a NaN/inf gradient step leaves params and
+    inner optimizer state untouched (skipped), finite steps apply normally
+    — the production loss-spike guard the reference lacked (a single NaN
+    batch would poison its whole parameter tree)."""
+    p = Config.from_mapping(
+        {"lr": 1e-2, "train_steps": 100, "warmup_steps": 0,
+         "skip_nonfinite_updates": 3}
+    )
+    tx, _ = get_optimizer(p)
+    params = {"w": jnp.ones((4,))}
+    state = tx.init(params)
+
+    bad = {"w": jnp.full((4,), jnp.nan)}
+    updates, state = tx.update(bad, state, params)
+    params_after_bad = optax.apply_updates(params, updates)
+    np.testing.assert_array_equal(
+        np.asarray(params_after_bad["w"]), np.ones((4,))
+    )
+    assert int(state.notfinite_count) == 1
+
+    good = {"w": jnp.full((4,), 0.5)}
+    updates, state = tx.update(good, state, params_after_bad)
+    params_after_good = optax.apply_updates(params_after_bad, updates)
+    assert not np.allclose(np.asarray(params_after_good["w"]), np.ones((4,)))
+    assert int(state.notfinite_count) == 0  # resets on a finite step
