@@ -48,6 +48,28 @@ INTERMEDIATE = "intermediate_expanded"
 BATCH = "batch_dim"
 
 
+def _decode_unroll(n_layers: int) -> int:
+    """Unroll factor for the decode-time layer scan.
+
+    Batch-1 decode is op-overhead bound (~150 small ops/token, BENCH.md
+    "Decode latency"): the rolled scan adds loop carry/condition overhead
+    per layer and blocks XLA from scheduling across layer boundaries
+    (e.g. prefetching layer l+1's weights during layer l's matvecs).
+    Measured at dalle_coco scale on v5e (int4, banded head): full unroll
+    0.691 s vs rolled 0.728 s p50/image — and partial unroll LOSES
+    (unroll=4: 0.889 s; the mixed loop+unroll body defeats the scheduler),
+    so the default is "full". ``DALLE_TPU_DECODE_UNROLL`` = int or
+    "full"; set 1 to bound compile time on very deep decode stacks.
+    Training uses the rolled scan unconditionally (its body is MXU-bound;
+    unrolling only bloats compile).
+    """
+    import os  # noqa: PLC0415
+
+    v = os.environ.get("DALLE_TPU_DECODE_UNROLL", "full")
+    n = n_layers if v == "full" else int(v)
+    return max(1, min(n, n_layers))
+
+
 @dataclasses.dataclass(frozen=True)
 class DalleConfig:
     n_embd: int
@@ -487,15 +509,32 @@ class DALLE:
             w = w * scale.astype(dtype)
         return w
 
-    def _last_logits(self, params, x_last):
+    def _last_logits(self, params, x_last, band: tuple[int, int] | None = None):
         """[B, E] final-LN'd hidden -> fp32 logits [B, vocab].
 
         w_out streams in its quantized/compute dtype — at dalle_coco scale
         it is ~26% of the per-token decode weight stream, and the fp32
         master form this once used doubled that slice. Matmul accumulates
-        fp32 (preferred_element_type), matching forward()'s logits path."""
+        fp32 (preferred_element_type), matching forward()'s logits path.
+
+        With ``band=(lo, hi)`` only vocab columns [lo, hi) are computed
+        (returns [B, hi-lo]). Image decoding only ever samples the
+        image-token band — every other column is band-masked to -inf by
+        the samplers — so the banded head is EXACT, and it shrinks the
+        head matvec from total_tokens (~50k) columns to image_vocab_size
+        (512 at dalle_coco scale). The column slices are loop-invariant,
+        so XLA hoists them out of the decode scan: per token only the
+        [E, hi-lo] slice streams, and the 50k-wide sampling reductions
+        (band add, approx_max_k, argmax, categorical) collapse to 512."""
         dtype = self.cfg.policy.compute_dtype
+        w = params["w_out"]
         w_scale = params.get("w_out_scale")
+        b_out = params["b_out"]
+        if band is not None:
+            w = w[:, band[0]:band[1]]
+            if w_scale is not None:
+                w_scale = w_scale[:, band[0]:band[1]]
+            b_out = b_out[band[0]:band[1]]
         if w_scale is not None and self._streaming_eligible(
             x_last.shape[0], x_last.shape[1]
         ):
@@ -505,16 +544,16 @@ class DALLE:
             if params.get("w_out_int4") is not None:
                 h = x16.shape[-1] // 2
                 logits = dmm.int4_matmul(
-                    x16[:, :h], x16[:, h:], params["w_out"], w_scale
+                    x16[:, :h], x16[:, h:], w, w_scale
                 )
             else:
-                logits = dmm.int8_matmul(x16, params["w_out"], w_scale)
-            return logits + params["b_out"]
+                logits = dmm.int8_matmul(x16, w, w_scale)
+            return logits + b_out
         if params.get("w_out_int4") is not None:
             from dalle_mtf_tpu.quantize import nibble_views  # noqa: PLC0415
 
-            scale = params["w_out_scale"].astype(dtype)
-            lo, hi = nibble_views(params["w_out"])
+            scale = w_scale.astype(dtype)
+            lo, hi = nibble_views(w)
             h = x_last.shape[-1] // 2
             x16 = x_last.astype(dtype)
             return (
@@ -526,14 +565,17 @@ class DALLE:
                     "be,ev->bv", x16[:, h:], hi.astype(dtype) * scale,
                     preferred_element_type=jnp.float32,
                 )
-                + params["b_out"]
+                + b_out
             )
+        wd = w.astype(dtype)
+        if w_scale is not None:  # int8: scale multiply fuses into the read
+            wd = wd * w_scale.astype(dtype)
         return (
             jnp.einsum(
-                "be,ev->bv", x_last.astype(dtype), self._w_out(params),
+                "be,ev->bv", x_last.astype(dtype), wd,
                 preferred_element_type=jnp.float32,
             )
-            + params["b_out"]
+            + b_out
         )
 
     def _block(self, p, x, rng, train: bool, constrain):
@@ -828,19 +870,25 @@ class DALLE:
         dtype = cfg.policy.compute_dtype
         return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
-    def prefill(self, params, tokens: jax.Array, cache: dict) -> tuple[jax.Array, dict]:
+    def prefill(
+        self, params, tokens: jax.Array, cache: dict,
+        band: tuple[int, int] | None = None,
+    ) -> tuple[jax.Array, dict]:
         """Run the prompt through the model, filling cache[:, :, :S].
 
-        Returns (logits at the last position [B, vocab] fp32, cache).
+        Returns (logits at the last position [B, vocab] fp32, cache —
+        [B, hi-lo] when ``band=(lo, hi)``, see _last_logits).
         Delegates to prefill_rows with a constant all-rows mask (XLA folds
         the constant-true select; one prompt-pass body to maintain).
         """
         return self.prefill_rows(
-            params, tokens, cache, jnp.ones((tokens.shape[0],), bool)
+            params, tokens, cache, jnp.ones((tokens.shape[0],), bool),
+            band=band,
         )
 
     def _decode_step_impl(
-        self, params, cache: dict, token, pos_embed_idx, write, pos_b
+        self, params, cache: dict, token, pos_embed_idx, write, pos_b,
+        band: tuple[int, int] | None = None,
     ) -> tuple[jax.Array, dict]:
         """Shared one-token decode body: ``write(cache, new)`` scatters the
         step's k/v (uniform slice or per-row — the ONLY thing that differs
@@ -870,16 +918,19 @@ class DALLE:
             return x_, (k_cache, v_cache)
 
         x, (new_k, new_v) = jax.lax.scan(
-            body, x, (params["layers"], cache["k"], cache["v"])
+            body, x, (params["layers"], cache["k"], cache["v"]),
+            unroll=_decode_unroll(cfg.n_layers),
         )
         cache = {"k": new_k, "v": new_v}
         x = self._layer_norm(x[:, 0], params["lnf_g"], params["lnf_b"])
-        return self._last_logits(params, x), cache
+        return self._last_logits(params, x, band), cache
 
     def decode_step(
-        self, params, cache: dict, token: jax.Array, position: jax.Array
+        self, params, cache: dict, token: jax.Array, position: jax.Array,
+        band: tuple[int, int] | None = None,
     ) -> tuple[jax.Array, dict]:
-        """One incremental step: token [B] at ``position`` -> logits [B, vocab].
+        """One incremental step: token [B] at ``position`` -> logits [B, vocab]
+        ([B, hi-lo] when ``band=(lo, hi)`` — see _last_logits).
 
         Completes the reference's unfinished incremental-inference path
         (one-hot scatter into cached k/v, models.py:246-254 — here a
@@ -890,13 +941,14 @@ class DALLE:
             return jax.lax.dynamic_update_slice(c, n, (0, 0, position, 0))
 
         return self._decode_step_impl(
-            params, cache, token, position, write, position
+            params, cache, token, position, write, position, band
         )
 
     # ------------------------------------------- per-row (continuous) decode
 
     def decode_step_rows(
-        self, params, cache: dict, token: jax.Array, positions: jax.Array
+        self, params, cache: dict, token: jax.Array, positions: jax.Array,
+        band: tuple[int, int] | None = None,
     ) -> tuple[jax.Array, dict]:
         """``decode_step`` with a PER-ROW position vector: token [B] where
         row b sits at ``positions[b]`` -> logits [B, vocab].
@@ -916,10 +968,12 @@ class DALLE:
             params, cache, token, positions,
             lambda c, n: write(c, n, positions),
             positions[:, None, None, None],
+            band,
         )
 
     def prefill_rows(
-        self, params, tokens: jax.Array, cache: dict, row_mask: jax.Array
+        self, params, tokens: jax.Array, cache: dict, row_mask: jax.Array,
+        band: tuple[int, int] | None = None,
     ) -> tuple[jax.Array, dict]:
         """``prefill`` that only takes effect on ``row_mask`` rows.
 
@@ -961,4 +1015,4 @@ class DALLE:
             ),
         }
         x = self._layer_norm(x, params["lnf_g"], params["lnf_b"])
-        return self._last_logits(params, x[:, -1]), cache
+        return self._last_logits(params, x[:, -1], band), cache

@@ -65,7 +65,8 @@ def _sample_token(rng, logits, temperature, top_k: int, top_p=None):
         # approx_max_k uses the TPU's partial-reduce unit instead of a full
         # vocab sort — a full jax.lax.top_k sort was 27% of decode time at
         # dalle_coco scale (profiled). recall 0.99 is indistinguishable for
-        # sampling.
+        # sampling. Clamp: banded logits can be narrower than a user top_k.
+        top_k = min(top_k, logits.shape[-1])
         vals, idxs = jax.lax.approx_max_k(logits, top_k, recall_target=0.99)
         choice = jax.random.categorical(rng, vals / safe, axis=-1)
         tok = jnp.take_along_axis(idxs, choice[..., None], axis=-1)[..., 0]
@@ -107,18 +108,22 @@ def generate_image_tokens(
     hi = lo + cfg.image_vocab_size
 
     cache = dalle.init_cache(b)
-    logits, cache = dalle.prefill(params, text_tokens.astype(jnp.int32), cache)
-
-    band = jnp.arange(cfg.total_tokens)
-    band_mask = jnp.where((band >= lo) & (band < hi), 0.0, -jnp.inf)
+    # band=(lo, hi): logits are computed ONLY over the image-token band —
+    # exact (every other column would be band-masked to -inf here anyway)
+    # and it drops the ~50k-wide head matvec + sampling reductions to
+    # image_vocab_size per step (see DALLE._last_logits). Sampled indices
+    # are band-relative; + lo recovers the combined-vocab token id.
+    logits, cache = dalle.prefill(
+        params, text_tokens.astype(jnp.int32), cache, band=(lo, hi)
+    )
 
     def step(carry, pos):
         cache_, logits_, rng_ = carry
         rng_, sub = jax.random.split(rng_)
-        tok = _sample_token(
-            sub, logits_ + band_mask, temperature, top_k, top_p
+        tok = _sample_token(sub, logits_, temperature, top_k, top_p) + lo
+        new_logits, cache_ = dalle.decode_step(
+            params, cache_, tok, pos, band=(lo, hi)
         )
-        new_logits, cache_ = dalle.decode_step(params, cache_, tok, pos)
         return (cache_, new_logits, rng_), tok
 
     positions = jnp.arange(t, t + cfg.image_seq_len)
@@ -213,23 +218,23 @@ def decode_chunk(
     hi = lo + cfg.image_vocab_size
     end_pos = t + cfg.image_seq_len
 
-    band = jnp.arange(cfg.total_tokens)
-    band_mask = jnp.where((band >= lo) & (band < hi), 0.0, -jnp.inf)
-
     def step(carry, _):
         cache_, logits_, pos_, rng_ = carry
         rng_, sub = jax.random.split(rng_)
         active = pos_ < end_pos
+        # logits ride band=(lo, hi) throughout the continuous engine (the
+        # admit_rows prefill produces them banded too): sampled indices are
+        # already 0-based image tokens; + lo feeds the combined-vocab
+        # embedding in the decode step.
         tok = _sample_token_rows(
-            sub, logits_ + band_mask, temperature, top_k_rows, k_max,
-            top_p_rows,
+            sub, logits_, temperature, top_k_rows, k_max, top_p_rows
         )
         pos_used = jnp.minimum(pos_, end_pos - 1)
         new_logits, cache_ = dalle.decode_step_rows(
-            params, cache_, tok, pos_used
+            params, cache_, tok + lo, pos_used, band=(lo, hi)
         )
         new_pos = pos_ + active.astype(pos_.dtype)
-        return (cache_, new_logits, new_pos, rng_), (tok - lo, active)
+        return (cache_, new_logits, new_pos, rng_), (tok, active)
 
     (cache, last_logits, positions, rng), (tokens, active) = jax.lax.scan(
         step, (cache, last_logits, positions, rng), None, length=chunk
@@ -254,8 +259,13 @@ def admit_rows(
     """Admit new requests into the masked slots of a live continuous batch:
     prefill their prompts (fixed-shape full-batch pass, one executable),
     merge k/v + logits + positions only on ``mask`` rows. Occupied rows are
-    untouched."""
-    new_logits, cache = dalle.prefill_rows(params, texts, cache, mask)
+    untouched. Logits are banded to the image-token vocabulary — the
+    continuous engine's logits buffers are [B, image_vocab_size]."""
+    cfg = dalle.cfg
+    lo = cfg.text_vocab_size
+    new_logits, cache = dalle.prefill_rows(
+        params, texts, cache, mask, band=(lo, lo + cfg.image_vocab_size)
+    )
     last_logits = jnp.where(mask[:, None], new_logits, last_logits)
     positions = jnp.where(
         mask, jnp.int32(dalle.cfg.text_seq_len), positions

@@ -451,7 +451,9 @@ class ContinuousBatchingSampler:
         cfg = self.dalle.cfg
         self._end_pos = cfg.text_seq_len + cfg.image_seq_len
         self._cache = self.dalle.init_cache(b)
-        self._logits = jnp.zeros((b, cfg.total_tokens), jnp.float32)
+        # banded: the continuous engine's logits only ever cover the
+        # image-token vocabulary (sample.admit_rows / decode_chunk)
+        self._logits = jnp.zeros((b, cfg.image_vocab_size), jnp.float32)
         # parked at the end: no slot advances until something is admitted
         self._positions = jnp.full((b,), self._end_pos, jnp.int32)
         # fold a monotone counter in so a failure reset doesn't replay the

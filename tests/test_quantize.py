@@ -115,3 +115,28 @@ def test_int4_forward_close_and_decode_runs():
     toks = generate_image_tokens(model, qp, text, jax.random.PRNGKey(3), top_k=8)
     assert toks.shape == (1, 16)
     assert int(toks.min()) >= 0 and int(toks.max()) < CFG.image_vocab_size
+
+
+def test_banded_logits_equal_full_slice_all_formats():
+    """decode_step with band=(lo, hi) must return exactly the [lo:hi)
+    column slice of the full-vocab logits, for fp32 master, int8, and
+    packed-int4 w_out (the band slices the packed bytes / scales by
+    OUTPUT column, which the split-half input-dim packing leaves intact)."""
+    model = DALLE(CFG)
+    params = model.init(jax.random.PRNGKey(0))
+    lo = CFG.text_vocab_size
+    hi = lo + CFG.image_vocab_size
+    tok = jnp.array([lo + 3, lo + 7], jnp.int32)
+    for name, pf in (
+        ("fp32", lambda p: p),
+        ("int8", quantize_layers_int8),
+        ("int4", quantize_layers_int4),
+    ):
+        p = pf(params)
+        cache = model.init_cache(2)
+        pos = jnp.int32(CFG.text_seq_len)
+        full, _ = model.decode_step(p, cache, tok, pos)
+        banded, _ = model.decode_step(p, cache, tok, pos, band=(lo, hi))
+        np.testing.assert_array_equal(
+            np.asarray(full[:, lo:hi]), np.asarray(banded), err_msg=name
+        )

@@ -151,3 +151,25 @@ class TestTopP:
             np.asarray(greedy)[0], np.asarray(mixed)[0]
         )
         assert int(mixed.min()) >= 0 and int(mixed.max()) < CFG.image_vocab_size
+
+
+def test_decode_unroll_matches_rolled(monkeypatch):
+    """DALLE_TPU_DECODE_UNROLL must not change decode numerics: the greedy
+    sequence from the rolled layer scan equals the fully-unrolled default."""
+    model = DALLE(CFG)
+    params = model.init(jax.random.PRNGKey(0))
+    text = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, 40)
+    unrolled = generate_image_tokens(  # default: unroll="full"
+        model, params, text, jax.random.PRNGKey(2), temperature=0.0
+    )
+    monkeypatch.setenv("DALLE_TPU_DECODE_UNROLL", "1")
+    # the env knob is read at trace time; same-shape calls would otherwise
+    # reuse the cached unrolled executable
+    generate_image_tokens.clear_cache()
+    try:
+        rolled = generate_image_tokens(
+            model, params, text, jax.random.PRNGKey(2), temperature=0.0
+        )
+    finally:
+        generate_image_tokens.clear_cache()
+    np.testing.assert_array_equal(np.asarray(rolled), np.asarray(unrolled))

@@ -91,7 +91,8 @@ def test_tp_sharded_continuous_chunks_match_unsharded_greedy():
 
     end = CFG.text_seq_len + CFG.image_seq_len
     cache = model.init_cache(b)
-    logits = jnp.zeros((b, CFG.total_tokens), jnp.float32)
+    # banded engine: continuous-path logits buffers cover the image band only
+    logits = jnp.zeros((b, CFG.image_vocab_size), jnp.float32)
     positions = jnp.full((b,), end, jnp.int32)  # parked
     cache, logits, positions = admit_rows(
         model, sharded, cache, logits, positions,
