@@ -39,6 +39,7 @@ REMAT_POLICY = os.environ.get("BENCH_REMAT_POLICY", "dots_saveable")
 FUSED_XENT = bool(int(os.environ.get("BENCH_FUSED_XENT", "0")))
 XENT_CHUNKS = int(os.environ.get("BENCH_XENT_CHUNKS", "8"))
 LN_DTYPE = os.environ.get("BENCH_LN_DTYPE", "float32")
+LN_IMPL = os.environ.get("BENCH_LN_IMPL", "pallas")
 WARMUP_STEPS = 3
 BENCH_STEPS = 10
 
@@ -63,6 +64,7 @@ def main():
         remat_policy=REMAT_POLICY,
         xent_chunks=XENT_CHUNKS,
         ln_dtype=LN_DTYPE,
+        ln_impl=LN_IMPL,
     )
     model = DALLE(cfg)
     batch = PER_CHIP_BATCH * n_chips

@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from dalle_mtf_tpu.ops.attention import causal_attention, decode_attention
+from dalle_mtf_tpu.ops.layer_norm import layer_norm as pallas_layer_norm
 from dalle_mtf_tpu.ops.losses import softmax_cross_entropy_with_logits
 from dalle_mtf_tpu.utils.precision import Policy, get_policy
 
@@ -154,6 +155,13 @@ class DalleConfig:
     # scale; BENCH.md step profile). "float32" upcasts around the
     # normalize, which is strictly more precise than the reference.
     ln_dtype: str = "float32"  # | "activation"
+    # layernorm implementation. "pallas" routes through the fused
+    # forward/backward kernels (ops/layer_norm.py — single-pass fp32
+    # backward at HBM speed instead of XLA's multi-pass chains); "xla"
+    # keeps the composed-op form, whose compute dtype ln_dtype picks.
+    # Pallas applies only where the feature dim is lane-aligned
+    # (n_embd % 128); elsewhere it falls back to the XLA fp32 form.
+    ln_impl: str = "xla"  # | "pallas"
 
     @classmethod
     def from_params(
@@ -191,6 +199,7 @@ class DalleConfig:
             xent_chunks=int(params.get("xent_chunks") or 8),
             decode_kernels=bool(params.get("decode_kernels", False)),
             ln_dtype=params.get("ln_dtype") or "float32",
+            ln_impl=params.get("ln_impl") or "xla",
         )
 
     @property
@@ -340,6 +349,9 @@ class DALLE:
         # chain in x.dtype like the reference's norm (layers.py:30-33 —
         # bf16 reductions under bf_16; TPU reduces carry an f32 accumulator
         # either way), "float32" upcasts around the normalize.
+        if self.cfg.ln_impl == "pallas":
+            # fused kernels compute in fp32 internally (ops/layer_norm.py)
+            return pallas_layer_norm(x, g, b, eps)
         ct = jnp.float32 if self.cfg.ln_dtype == "float32" else x.dtype
         xc = x.astype(ct)
         mean = jnp.mean(xc, axis=-1, keepdims=True)
