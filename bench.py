@@ -39,7 +39,7 @@ REMAT_POLICY = os.environ.get("BENCH_REMAT_POLICY", "dots_saveable")
 FUSED_XENT = bool(int(os.environ.get("BENCH_FUSED_XENT", "0")))
 XENT_CHUNKS = int(os.environ.get("BENCH_XENT_CHUNKS", "8"))
 LN_DTYPE = os.environ.get("BENCH_LN_DTYPE", "float32")
-LN_IMPL = os.environ.get("BENCH_LN_IMPL", "pallas")
+LN_IMPL = os.environ.get("BENCH_LN_IMPL", "xla")
 WARMUP_STEPS = 3
 BENCH_STEPS = 10
 

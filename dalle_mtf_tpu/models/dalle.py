@@ -156,11 +156,13 @@ class DalleConfig:
     # normalize, which is strictly more precise than the reference.
     ln_dtype: str = "float32"  # | "activation"
     # layernorm implementation. "pallas" routes through the fused
-    # forward/backward kernels (ops/layer_norm.py — single-pass fp32
-    # backward at HBM speed instead of XLA's multi-pass chains); "xla"
-    # keeps the composed-op form, whose compute dtype ln_dtype picks.
-    # Pallas applies only where the feature dim is lane-aligned
-    # (n_embd % 128); elsewhere it falls back to the XLA fp32 form.
+    # forward/backward kernels (ops/layer_norm.py); "xla" keeps the
+    # composed-op form, whose compute dtype ln_dtype picks. MEASURED
+    # NEUTRAL on v5e (83.4k vs 83.5k tok/s, BENCH.md "LN impl A/B") —
+    # the profile's "LN-backward chain" bucket is residual-chain traffic
+    # XLA fuses either way, so the default stays "xla". Pallas applies
+    # only where the feature dim is lane-aligned (n_embd % 128);
+    # elsewhere it falls back to the XLA fp32 form.
     ln_impl: str = "xla"  # | "pallas"
 
     @classmethod
