@@ -76,7 +76,9 @@ def main():
 
         end = cfg.text_seq_len + cfg.image_seq_len
         cache = model.init_cache(1)
-        logits = jnp.zeros((1, cfg.total_tokens), jnp.float32)
+        # the continuous engine's logits ride banded to the image vocab
+        # (serve.py:456, sample.admit_rows)
+        logits = jnp.zeros((1, cfg.image_vocab_size), jnp.float32)
         positions = jnp.full((1,), end, jnp.int32)
         cache, logits, positions = admit_rows(
             model, params, cache, logits, positions, text,

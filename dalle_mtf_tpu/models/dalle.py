@@ -904,10 +904,19 @@ class DALLE:
         self, params, cache: dict, token, pos_embed_idx, write, pos_b,
         band: tuple[int, int] | None = None,
     ) -> tuple[jax.Array, dict]:
-        """Shared one-token decode body: ``write(cache, new)`` scatters the
-        step's k/v (uniform slice or per-row — the ONLY thing that differs
+        """Shared one-token decode body: ``write(cache_all, new, layer)``
+        scatters the step's k/v into the STACKED [L, B, H, S, D] cache at
+        ``layer`` (uniform slice or per-row — the ONLY thing that differs
         between decode_step and decode_step_rows), ``pos_b`` is the
-        attention-mask position (scalar or [B,1,1,1])."""
+        attention-mask position (scalar or [B,1,1,1]).
+
+        The stacked caches ride the layer scan as CARRY, not xs/ys: the
+        xs/ys form made XLA unstack both 63 MB caches into per-layer
+        copies and DUS-restack them into a fresh stacked buffer EVERY
+        token (~250 MB/token of pure copy traffic, 23% of decode time —
+        the slice_bitcast/DUS fusions in the decode profile). As carry,
+        the per-token write is a tiny in-place DUS at the layer offset
+        and attention's cache read fuses into its matmul operands."""
         cfg = self.cfg
         dtype = cfg.policy.compute_dtype
         x = params["wte"].astype(dtype)[token]  # [B, E]
@@ -917,22 +926,30 @@ class DALLE:
         x = x + params["wpe"].astype(dtype)[pos_embed_idx]
         x = x[:, None, :]  # [B, 1, E]
 
-        def body(x_, scanned):
-            p, k_cache, v_cache = scanned
+        def body(carry, scanned):
+            x_, k_all, v_all = carry
+            p, layer = scanned
             a_in = self._layer_norm(x_, p["ln1_g"], p["ln1_b"])
             q, k_new, v_new = self._qkv(p, a_in)
-            k_cache = write(k_cache, k_new.astype(k_cache.dtype))
-            v_cache = write(v_cache, v_new.astype(v_cache.dtype))
+            k_all = write(k_all, k_new.astype(k_all.dtype), layer)
+            v_all = write(v_all, v_new.astype(v_all.dtype), layer)
+            k_cache = jax.lax.squeeze(
+                jax.lax.dynamic_slice_in_dim(k_all, layer, 1, axis=0), (0,)
+            )
+            v_cache = jax.lax.squeeze(
+                jax.lax.dynamic_slice_in_dim(v_all, layer, 1, axis=0), (0,)
+            )
             a = decode_attention(
                 q, k_cache, v_cache, pos_b, window=self._window
             )
             x_ = x_ + self._attn_out(p, a)
             m_in = self._layer_norm(x_, p["ln2_g"], p["ln2_b"])
             x_ = x_ + self._mlp(p, m_in)
-            return x_, (k_cache, v_cache)
+            return (x_, k_all, v_all), None
 
-        x, (new_k, new_v) = jax.lax.scan(
-            body, x, (params["layers"], cache["k"], cache["v"]),
+        (x, new_k, new_v), _ = jax.lax.scan(
+            body, (x, cache["k"], cache["v"]),
+            (params["layers"], jnp.arange(cfg.n_layers)),
             unroll=_decode_unroll(cfg.n_layers),
         )
         cache = {"k": new_k, "v": new_v}
@@ -951,8 +968,10 @@ class DALLE:
         dynamic_update_slice, which XLA lowers to an in-place DMA).
         """
 
-        def write(c, n):  # all rows at the same position: one plain DUS
-            return jax.lax.dynamic_update_slice(c, n, (0, 0, position, 0))
+        def write(c, n, layer):  # all rows at one position: one plain DUS
+            return jax.lax.dynamic_update_slice(
+                c, n[None], (layer, 0, 0, position, 0)
+            )
 
         return self._decode_step_impl(
             params, cache, token, position, write, position, band
@@ -975,12 +994,17 @@ class DALLE:
         Identical math to ``decode_step`` when all positions agree (the
         greedy-equivalence tests pin that) — both share _decode_step_impl.
         """
-        write = jax.vmap(
-            lambda c, n, p: jax.lax.dynamic_update_slice(c, n, (0, p, 0))
-        )  # [B,H,S,D], [B,H,1,D], [B] -> per-row scatter at its own position
+        row_write = jax.vmap(
+            # [L,H,S,D], [H,1,D], pos, layer -> per-row DUS at its own
+            # position inside the row's layer slice of the stacked cache
+            lambda c, n, p, l: jax.lax.dynamic_update_slice(
+                c, n[None], (l, 0, p, 0)
+            ),
+            in_axes=(1, 0, 0, None), out_axes=1,
+        )
         return self._decode_step_impl(
             params, cache, token, positions,
-            lambda c, n: write(c, n, positions),
+            lambda c, n, layer: row_write(c, n, positions, layer),
             positions[:, None, None, None],
             band,
         )
