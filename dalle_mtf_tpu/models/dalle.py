@@ -154,6 +154,8 @@ class DalleConfig:
     # of the VPU-bound fp32 LN backward chains (~33 ms/step at dalle_coco
     # scale; BENCH.md step profile). "float32" upcasts around the
     # normalize, which is strictly more precise than the reference.
+    # NOTE: only consulted when ln_impl="xla" — the pallas kernels always
+    # compute in fp32 internally (a warning fires on the combination).
     ln_dtype: str = "float32"  # | "activation"
     # layernorm implementation. "pallas" routes through the fused
     # forward/backward kernels (ops/layer_norm.py); "xla" keeps the
@@ -234,6 +236,15 @@ def _normal(rng, shape, stddev):
 class DALLE:
     def __init__(self, config: DalleConfig):
         self.cfg = config
+        if config.ln_impl == "pallas" and config.ln_dtype == "activation":
+            import logging  # noqa: PLC0415
+
+            logging.getLogger(__name__).warning(
+                "ln_impl='pallas' always computes the normalize in fp32 "
+                "internally — ln_dtype='activation' (the reference-exact "
+                "bf16 norm semantics) is ignored on that path; set "
+                "ln_impl='xla' if you need activation-dtype LN math."
+            )
         if config.attention_dropout > 0.0:
             import logging  # noqa: PLC0415
 
@@ -742,7 +753,8 @@ class DALLE:
     def _shard_head_rows(self, x, mesh):
         """Constrain [B, S, E] batch rows over (batch_axis, pipe_axis) so
         the loss head is computed once per row across the pipe group instead
-        of replicated P times. Skipped if B doesn't divide."""
+        of replicated P times. Skipped — with a logged warning, since it
+        costs a silent P× on ~15% of the step — if B doesn't divide."""
         from jax.sharding import NamedSharding, PartitionSpec  # noqa: PLC0415
 
         cfg = self.cfg
@@ -754,6 +766,16 @@ class DALLE:
         for a in axes:
             total *= mesh.shape[a]
         if x.shape[0] % total != 0:
+            import logging  # noqa: PLC0415
+
+            logging.getLogger("dalle_mtf_tpu").warning(
+                "pipeline head: batch %d does not divide the (%s) group "
+                "size %d — the loss head will run pipe-REPLICATED (%dx "
+                "repeated work on ~15%% of the step). Pad the batch to a "
+                "multiple of %d to shard it.",
+                x.shape[0], ",".join(axes), total, mesh.shape[cfg.pipe_axis],
+                total,
+            )
             return x
         return jax.lax.with_sharding_constraint(
             x, NamedSharding(mesh, PartitionSpec(tuple(axes)))
@@ -868,6 +890,43 @@ class DALLE:
             ) + params["b_out"].astype(x.dtype)
             loss_batch = softmax_cross_entropy_with_logits(logits, labels, z_loss)
         return loss_batch.mean(), loss_batch
+
+    def fused_eval(
+        self,
+        params,
+        tokens: jax.Array,
+        rng: jax.Array | None = None,
+        constrain: Callable | None = None,
+        z_loss: float = 0.0,
+    ):
+        """Eval under ``fused_xent``: per-position loss AND argmax
+        correctness, streamed over row chunks so the [B, S, vocab] logits
+        never materialize (ops/xent_fused.py::chunked_xent_eval_auto). Keeps
+        the fused configs' eval metric schema identical to the dense path
+        (reference eval metric_fn, model_fns_tf.py:80-96). Returns
+        (loss [B, S] f32, correct [B, S] f32). No gradients — eval only."""
+        cfg = self.cfg
+        labels = self.shifted_labels(tokens)
+        from dalle_mtf_tpu.ops.xent_fused import (  # noqa: PLC0415
+            chunked_xent_eval_auto,
+        )
+
+        x = self.hidden(params, tokens, rng, train=False, constrain=constrain)
+        b_, s_, e_ = x.shape
+        n = b_ * s_
+        num_chunks = next(
+            c for c in (cfg.xent_chunks, 8, 4, 2, 1) if n % c == 0
+        )
+        loss_flat, correct_flat = chunked_xent_eval_auto(
+            x.reshape(n, e_),
+            self._w_out(params),
+            params["b_out"],
+            labels.reshape(n),
+            z_loss,
+            num_chunks,
+            vocab_axis=cfg.vocab_axis,
+        )
+        return loss_flat.reshape(b_, s_), correct_flat.reshape(b_, s_)
 
     def shifted_labels(self, tokens: jax.Array) -> jax.Array:
         """Next-token targets: tokens shifted left with EOS appended

@@ -96,9 +96,13 @@ def _pad_rows(x2d, r_pad: int):
 
 
 def _pick_block(r: int) -> int:
+    # small-row blocks round to 16, not the fp32 sublane count 8: bf16
+    # sublane tiles are (16, 128), so an 8-row block would mis-tile bf16
+    # inputs in real Mosaic compilation (ADVICE r3; the small-rows path is
+    # otherwise only exercised under interpret=True)
     if r >= _BLOCK_ROWS:
         return _BLOCK_ROWS
-    return _round_up(r, 8)
+    return _round_up(r, 16)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))

@@ -232,6 +232,129 @@ def _tp_xent_bwd(z_loss, num_chunks, axis_name, res, g):
 tp_chunked_softmax_xent.defvjp(_tp_xent_fwd, _tp_xent_bwd)
 
 
+# --------------------------------------------------- eval: loss + accuracy
+
+def chunked_xent_eval(x, w, b, targets, z_loss: float = 0.0, num_chunks: int = 8):
+    """Streaming eval pass: per-row loss AND argmax-correctness in one scan.
+
+    Same chunked layout as ``chunked_softmax_xent`` but additionally returns
+    ``correct`` [N] f32 (1.0 where argmax(logits) == target), so eval under
+    ``fused_xent`` reports the same accuracy metrics as the dense path
+    (reference eval metric_fn capability, model_fns_tf.py:80-96) without
+    ever materializing the [N, V] logits. No gradients — eval only."""
+    n = x.shape[0]
+    assert n % num_chunks == 0, (n, num_chunks)
+    xc = x.reshape(num_chunks, n // num_chunks, -1)
+    tc = targets.reshape(num_chunks, -1)
+
+    def body(_, xs):
+        x_c, t_c = xs
+        logits = (
+            jnp.einsum("ne,ev->nv", x_c, w, preferred_element_type=jnp.float32)
+            + b
+        )
+        lse = jax.nn.logsumexp(logits, axis=-1)
+        tgt = jnp.take_along_axis(
+            logits, t_c[:, None].astype(jnp.int32), axis=-1
+        )[:, 0]
+        loss = lse - tgt
+        if z_loss:
+            loss = loss + z_loss * jnp.square(lse)
+        correct = (
+            jnp.argmax(logits, axis=-1) == t_c.astype(jnp.int32)
+        ).astype(jnp.float32)
+        return None, (loss, correct)
+
+    _, (loss, correct) = jax.lax.scan(body, None, (xc, tc))
+    return loss.reshape(n), correct.reshape(n)
+
+
+def _tp_chunked_xent_eval(x, w, b, targets, z_loss, num_chunks, axis_name):
+    """Vocab-sharded eval: shard-local argmax combined across shards.
+
+    The global argmax is recovered with scalar-per-row collectives only:
+    pmax of the local max picks the winning value; pmin over the global
+    index of rows whose local max equals it reproduces ``jnp.argmax``'s
+    first-occurrence tie rule across the concatenated shards."""
+    n = x.shape[0]
+    assert n % num_chunks == 0, (n, num_chunks)
+    vl = w.shape[1]
+    v0 = jax.lax.axis_index(axis_name) * vl
+    xc = x.reshape(num_chunks, n // num_chunks, -1)
+    tc = targets.reshape(num_chunks, -1)
+
+    def body(_, xs):
+        x_c, t_c = xs
+        logits = (
+            jnp.einsum("ne,ev->nv", x_c, w, preferred_element_type=jnp.float32)
+            + b
+        )
+        m_loc = jnp.max(logits, axis=-1)
+        m = jax.lax.pmax(m_loc, axis_name)
+        sumexp = jax.lax.psum(
+            jnp.sum(jnp.exp(logits - m[:, None]), axis=-1), axis_name
+        )
+        lse = m + jnp.log(sumexp)
+        t_rel = t_c.astype(jnp.int32) - v0
+        mine = (t_rel >= 0) & (t_rel < vl)
+        tgt_loc = jnp.take_along_axis(
+            logits, jnp.clip(t_rel, 0, vl - 1)[:, None], axis=-1
+        )[:, 0]
+        tgt = jax.lax.psum(jnp.where(mine, tgt_loc, 0.0), axis_name)
+        loss = lse - tgt
+        if z_loss:
+            loss = loss + z_loss * jnp.square(lse)
+        idx_glob = jnp.argmax(logits, axis=-1).astype(jnp.int32) + v0
+        big = jnp.iinfo(jnp.int32).max
+        pred = jax.lax.pmin(
+            jnp.where(m_loc == m, idx_glob, big), axis_name
+        )
+        correct = (pred == t_c.astype(jnp.int32)).astype(jnp.float32)
+        return None, (loss, correct)
+
+    _, (loss, correct) = jax.lax.scan(body, None, (xc, tc))
+    return loss.reshape(n), correct.reshape(n)
+
+
+def chunked_xent_eval_auto(
+    x, w, b, targets, z_loss: float = 0.0, num_chunks: int = 8,
+    vocab_axis: str | None = None,
+):
+    """``chunked_xent_eval`` with the same vocab-axis dispatch (and ragged-
+    vocab padding) as ``chunked_softmax_xent_auto``. Padded columns carry a
+    -1e10 bias so the argmax can never land on them."""
+    if vocab_axis is not None:
+        from dalle_mtf_tpu.ops.ring_attention import ambient_mesh  # noqa: PLC0415
+
+        mesh = ambient_mesh()
+        if (
+            mesh is not None
+            and vocab_axis in mesh.axis_names
+            and mesh.shape[vocab_axis] > 1
+        ):
+            from jax import shard_map  # noqa: PLC0415
+            from jax.sharding import PartitionSpec as P  # noqa: PLC0415
+
+            m = mesh.shape[vocab_axis]
+            v = w.shape[1]
+            v_pad = ((v + 128 * m - 1) // (128 * m)) * (128 * m)
+            if v_pad != v:
+                w = jnp.pad(w, ((0, 0), (0, v_pad - v)))
+                b = jnp.pad(b, (0, v_pad - v), constant_values=-1e10)
+            fn = shard_map(
+                functools.partial(
+                    _tp_chunked_xent_eval, z_loss=z_loss,
+                    num_chunks=num_chunks, axis_name=vocab_axis,
+                ),
+                mesh=mesh,
+                in_specs=(P(), P(None, vocab_axis), P(vocab_axis), P()),
+                out_specs=(P(), P()),
+                axis_names=frozenset({vocab_axis}),
+            )
+            return fn(x, w, b, targets)
+    return chunked_xent_eval(x, w, b, targets, z_loss, num_chunks)
+
+
 def chunked_softmax_xent_auto(
     x, w, b, targets, z_loss: float = 0.0, num_chunks: int = 8,
     vocab_axis: str | None = None,

@@ -25,9 +25,13 @@ Design (GPipe schedule, TPU-first):
 
 Bubble fraction is (P−1)/(M+P−1); M defaults to the pipe size and is
 configurable (``pipeline_microbatches``). The final layer norm / logits /
-loss run replicated over ``pipe`` (each stage repeats that ~15% of the
-step) — the simple-and-correct v1; moving the head onto the last stage
-is a possible follow-up.
+loss head is NOT replicated over ``pipe``: the model re-shards the hidden
+states' batch rows over (data, pipe) after the pipeline
+(models/dalle.py::_shard_head_rows), so every downstream head op computes
+each row exactly once across the pipe group — the reference computed its
+loss once too (models.py:391-416). When the batch doesn't divide
+(data × pipe) the re-shard is skipped with a logged warning and the head
+falls back to pipe-replicated compute.
 """
 
 from __future__ import annotations

@@ -146,12 +146,17 @@ def make_dalle_task(params: Mapping[str, Any], constrain=None):
         next-token accuracy (overall + image positions)."""
         tokens = tokens_of(frozen_vae, batch)
         if fused_xent:
-            # the fused path never materializes logits — no argmax available
-            loss, loss_batch = dalle.loss(
-                p, tokens, rng, train=False, constrain=constrain,
-                z_loss=z_loss, fused_xent=True,
+            # streamed eval (loss + argmax correctness per chunk) — same
+            # metric schema as the dense path below, still no [B, S, vocab]
+            # logits tensor (ops/xent_fused.py::chunked_xent_eval_auto)
+            loss_batch, correct = dalle.fused_eval(
+                p, tokens, rng, constrain=constrain, z_loss=z_loss,
             )
-            return loss, _split_losses(loss_batch)
+            return loss_batch.mean(), {
+                **_split_losses(loss_batch),
+                "acc": correct.mean(),
+                "acc_image": correct[:, text_len - 1 :].mean(),
+            }
         from dalle_mtf_tpu.ops.losses import (  # noqa: PLC0415
             softmax_cross_entropy_with_logits,
         )
