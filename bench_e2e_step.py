@@ -13,6 +13,7 @@ Prints ONE JSON line (tokens/sec/chip over the combined 1280-token seq).
 from __future__ import annotations
 
 import json
+import os
 import tempfile
 import time
 
@@ -20,7 +21,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-PER_CHIP_BATCH = 16
+# BENCH_E2E_CONFIG selects any dalle config (default dalle_coco); e.g.
+# dalle_4k runs the REAL trainer step at S=4352 through the hybrid/loop
+# attention regime end-to-end. BENCH_E2E_BATCH overrides per-chip batch.
+CONFIG = os.environ.get("BENCH_E2E_CONFIG", "dalle_coco")
+PER_CHIP_BATCH = int(os.environ.get("BENCH_E2E_BATCH", 16))
 WARMUP_STEPS = 3
 BENCH_STEPS = 10
 
@@ -34,7 +39,7 @@ def main():
 
     n_chips = jax.device_count()
     batch = PER_CHIP_BATCH * n_chips
-    params = fetch_model_params("dalle_coco")
+    params = fetch_model_params(CONFIG)
     params["train_batch_size"] = batch
     params["mesh_shape"] = f"data:{n_chips}"
     params["layout"] = "batch_dim:data"
@@ -83,7 +88,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "dalle_coco_e2e_trainer_step_tokens_per_sec_per_chip",
+                "metric": f"{CONFIG}_e2e_trainer_step_tokens_per_sec_per_chip",
                 "value": round(tokens_per_sec_chip, 1),
                 "unit": "tokens/sec/chip",
                 "vs_baseline": round(tokens_per_sec_chip / 24_500.0, 3),

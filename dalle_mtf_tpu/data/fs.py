@@ -30,24 +30,42 @@ def is_remote(path: str) -> bool:
     return bool(sep) and head.isalpha() and len(head) > 1
 
 
-def open_file(path: str, mode: str = "rb"):
+def _remote_read_hints() -> tuple[str, int]:
+    """(cache_type, block_size) for sequential remote scans, tunable via
+    DALLE_TPU_GCS_CACHE / DALLE_TPU_GCS_BLOCK_MB (docs/data.md "Tuning
+    remote reads"). Defaults: readahead caching with 16 MB blocks — the
+    multi-MB windows tf.data's GCS reader used (parallel_interleave,
+    reference input_fns.py:85-104)."""
+    import os  # noqa: PLC0415
+
+    cache = os.environ.get("DALLE_TPU_GCS_CACHE", "readahead")
+    block_mb = int(os.environ.get("DALLE_TPU_GCS_BLOCK_MB", "16"))
+    return cache, max(1, block_mb) << 20
+
+
+def open_file(path: str, mode: str = "rb", *,
+              cache_type: str | None = None, block_size: int | None = None):
     """Open a local path or remote URL; returns a file-like object.
 
     Remote reads are buffered by the fsspec backend (gcsfs fetches in
     multi-MB blocks), so per-record reads off the returned object do not
-    issue per-record RPCs.
+    issue per-record RPCs. ``cache_type``/``block_size`` override the
+    env-tunable sequential-scan hints (_remote_read_hints).
     """
     if is_remote(path):
         import fsspec  # noqa: PLC0415
 
         if "r" in mode:
+            env_cache, env_block = _remote_read_hints()
             try:
                 # sequential-scan hints: large blocks + readahead caching
                 # (gcsfs then fetches multi-MB ranges ahead of the cursor,
                 # the window tf.data's GCS reader used); backends that
                 # don't take these kwargs fall through to defaults
                 return fsspec.open(
-                    path, mode, cache_type="readahead", block_size=16 << 20
+                    path, mode,
+                    cache_type=cache_type or env_cache,
+                    block_size=block_size or env_block,
                 ).open()
             except TypeError:
                 pass

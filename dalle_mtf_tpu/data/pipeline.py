@@ -92,6 +92,7 @@ class _Pipeline:
         cycle_length: int = 4,
         native_decode: Mapping[str, Any] | None = None,
         skip_samples: int = 0,
+        readahead_depth: int | None = None,
     ):
         if not files:
             raise FileNotFoundError("input pipeline got an empty file list")
@@ -112,6 +113,17 @@ class _Pipeline:
         # input_fns.py:87-92): round-robin over N concurrently-open files so
         # a shuffle window sees examples from several shards, not one
         self.cycle_length = max(1, cycle_length)
+        # per-shard remote readahead window (records buffered ahead by
+        # prefetch_iter per open remote stream). None -> env
+        # DALLE_TPU_READAHEAD_DEPTH or 64; see docs/data.md "Tuning
+        # remote reads" for sizing guidance.
+        if readahead_depth is None:
+            import os  # noqa: PLC0415
+
+            readahead_depth = int(
+                os.environ.get("DALLE_TPU_READAHEAD_DEPTH", "64")
+            )
+        self.readahead_depth = max(1, int(readahead_depth))
         # deterministic resume: reproduce the stream from sample position
         # skip_samples onward without decoding the prefix (see _shuffled)
         self.skip_samples = max(0, int(skip_samples))
@@ -154,7 +166,7 @@ class _Pipeline:
                     # remote shards: overlap backend fetches across all
                     # open streams (tf.data parallel_interleave's per-shard
                     # pipelining, input_fns.py:85-104); order unchanged
-                    it = prefetch_iter(it)
+                    it = prefetch_iter(it, depth=self.readahead_depth)
                 active.append(it)
                 return
 
@@ -438,6 +450,8 @@ def vae_input_fn(
                 "size": size, "channels": channels,
                 "text_len": 0, "padding_id": 0,
             },
+            cycle_length=ds.get("cycle_length") or 4,
+            readahead_depth=ds.get("readahead_depth"),
         )
 
     def read_file(path_: str):
@@ -450,6 +464,8 @@ def vae_input_fn(
     return _Pipeline(
         files, read_file, parse_path, batch, shuffle=not eval, repeat=repeat,
         skip_samples=skip,
+        cycle_length=ds.get("cycle_length") or 4,
+        readahead_depth=ds.get("readahead_depth"),
     )
 
 
@@ -492,4 +508,6 @@ def dalle_input_fn(
             "size": size, "channels": channels,
             "text_len": text_seq_len, "padding_id": padding_id,
         },
+        cycle_length=ds.get("cycle_length") or 4,
+        readahead_depth=ds.get("readahead_depth"),
     )

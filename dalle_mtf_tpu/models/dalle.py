@@ -126,6 +126,10 @@ class DalleConfig:
     #                        single biggest residual, [L, B, S, 4E]).
     #   "save_attn_lean"   — only attention out+lse and mlp2 (lowest memory
     #                        short of full recompute; projections re-run).
+    #   "dots_and_attn"    — dots_saveable PLUS attention out/lse (nothing
+    #                        recomputed in bwd; most memory). Measured
+    #                        neutral on v5e at dalle_coco scale (the remat'd
+    #                        attention re-forward is overlapped; BENCH.md r4).
     #   "nothing_saveable" — full recompute (biggest models).
     # Measured at dalle_coco scale on v5e (BENCH.md): dots_saveable@16 wins
     # (79.7k tok/s) — the remat'd attention forward overlaps into the
@@ -717,6 +721,19 @@ class DALLE:
             if cfg.remat_policy in named:
                 policy = jax.checkpoint_policies.save_only_these_names(
                     *named[cfg.remat_policy]
+                )
+            elif cfg.remat_policy == "dots_and_attn":
+                # dots_saveable PLUS the attention kernel's out/lse: every
+                # matmul residual kept (incl. the mlp1 hidden that made
+                # plain save_attn lose, BENCH.md remat study) AND the flash
+                # forward never re-runs in backward. Costs ~1.7 GB extra
+                # residuals at dalle_coco/batch-18 scale — affordable after
+                # the loss-head fp32-materialization fix freed 4.7 GB.
+                policy = jax.checkpoint_policies.save_from_both_policies(
+                    jax.checkpoint_policies.dots_saveable,
+                    jax.checkpoint_policies.save_only_these_names(
+                        "attn_out", "attn_lse"
+                    ),
                 )
             else:
                 policy = getattr(jax.checkpoint_policies, cfg.remat_policy)

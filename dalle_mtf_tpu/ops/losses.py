@@ -30,11 +30,20 @@ def softmax_cross_entropy_with_logits(
     knob mtf exposes; the reference passes 0.0 (models.py:350) but the
     capability is part of the surface.
     """
-    logits = logits.astype(jnp.float32)
-    log_z = jax.nn.logsumexp(logits, axis=-1)
+    # Gather the target logit in the INPUT dtype, upcasting only the [N]
+    # result: conversion commutes with the gather (identical loss bits),
+    # but gather is a kCustom call XLA cannot fuse a convert into — with
+    # the upcast-then-gather order the whole [B, S, V] fp32 convert gets
+    # materialized (4.7 GB write + read at dalle_coco scale) solely to
+    # feed it (r4 profile, fusion.268: 10.75 ms/step). The lse path's
+    # convert stays inside its reduce fusion either way. Under bf16 the
+    # gradient differs only at bf16-rounding of the one-hot term —
+    # dlogits is cast to bf16 before the dx/dw matmuls regardless.
     target_logits = jnp.take_along_axis(
         logits, targets[..., None].astype(jnp.int32), axis=-1
-    )[..., 0]
+    )[..., 0].astype(jnp.float32)
+    logits = logits.astype(jnp.float32)
+    log_z = jax.nn.logsumexp(logits, axis=-1)
     loss = log_z - target_logits
     if z_loss:
         loss = loss + z_loss * jnp.square(log_z)

@@ -555,3 +555,110 @@ class TestResumeSkip:
         a = next(iter(dalle_input_fn(params, shard=(0, 1))))
         b = next(iter(dalle_input_fn(params, shard=(0, 1), skip_steps=0)))
         np.testing.assert_array_equal(a["caption"], b["caption"])
+
+
+class TestReadaheadTuning:
+    """Window-size knobs for remote streams (VERDICT r3 #10): the per-shard
+    record window (readahead_depth / DALLE_TPU_READAHEAD_DEPTH) and the
+    fsspec block-size hints (DALLE_TPU_GCS_BLOCK_MB / DALLE_TPU_GCS_CACHE).
+    Sizing rule (docs/data.md): depth >= burst_latency / per-record time."""
+
+    def test_depth_bounds_producer_runahead(self):
+        import time as _time
+
+        from dalle_mtf_tpu.data.readahead import prefetch_iter
+
+        produced = []
+
+        def src():
+            for i in range(100):
+                produced.append(i)
+                yield i
+
+        it = prefetch_iter(src(), depth=8)
+        assert next(it) == 0
+        # producer should run ahead to ~depth buffered items, then stall
+        for _ in range(100):
+            if len(produced) >= 9:
+                break
+            _time.sleep(0.01)
+        assert len(produced) >= 9
+        _time.sleep(0.1)
+        # bounded: 1 consumed + 8 buffered + 1 in-hand at the blocked put
+        assert len(produced) <= 11, len(produced)
+        del it
+
+    def test_deep_window_absorbs_latency_bursts(self):
+        """Latency-injection sizing test: a bursty source (every 8th record
+        stalls 80 ms) feeds a steady 4 ms/record consumer. A 1-record
+        window stalls the consumer on every burst; a 32-record window hides
+        bursts behind buffered records (total ~ producer's own total)."""
+        import time as _time
+
+        from dalle_mtf_tpu.data.readahead import prefetch_iter
+
+        def bursty():
+            for i in range(24):
+                if i % 8 == 7:
+                    _time.sleep(0.08)
+                yield i
+
+        def consume(depth):
+            t0 = _time.perf_counter()
+            out = []
+            for x in prefetch_iter(bursty(), depth=depth):
+                _time.sleep(0.004)
+                out.append(x)
+            assert out == list(range(24))
+            return _time.perf_counter() - t0
+
+        deep = consume(32)
+        shallow = consume(1)
+        # shallow pays ~3 bursts on top of its own work; deep overlaps all
+        # but the final burst. Generous margins for a loaded 1-core host.
+        assert deep < shallow + 0.04, (deep, shallow)
+
+    def test_knobs_plumb_from_config(self):
+        import fsspec
+
+        from dalle_mtf_tpu.data.pipeline import vae_input_fn
+        from dalle_mtf_tpu.data.tfrecord import (
+            TFRecordWriter, serialize_example,
+        )
+
+        fs = fsspec.filesystem("memory")
+        if fs.exists("/knobs"):
+            fs.rm("/knobs", recursive=True)
+        with TFRecordWriter("memory://knobs/part_0.tfrecords") as w:
+            w.write(serialize_example({"caption": [1]}))
+        params = {
+            "dataset": {
+                "train_path": "memory://knobs/*.tfrecords",
+                "tfrecords": True,
+                "image_size": 8,
+                "cycle_length": 7,
+                "readahead_depth": 13,
+            },
+            "train_batch_size": 1,
+            "eval_batch_size": 1,
+        }
+        p = vae_input_fn(params, shard=(0, 1))
+        assert p.cycle_length == 7
+        assert p.readahead_depth == 13
+
+    def test_depth_env_default(self, monkeypatch):
+        from dalle_mtf_tpu.data.pipeline import _Pipeline
+
+        monkeypatch.setenv("DALLE_TPU_READAHEAD_DEPTH", "21")
+        p = _Pipeline(
+            ["x"], lambda f: iter(()), lambda r: {}, 1, shuffle=False,
+        )
+        assert p.readahead_depth == 21
+
+    def test_remote_hint_env(self, monkeypatch):
+        from dalle_mtf_tpu.data.fs import _remote_read_hints
+
+        monkeypatch.setenv("DALLE_TPU_GCS_BLOCK_MB", "32")
+        monkeypatch.setenv("DALLE_TPU_GCS_CACHE", "background")
+        cache, block = _remote_read_hints()
+        assert cache == "background" and block == 32 << 20

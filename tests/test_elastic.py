@@ -4,6 +4,7 @@ with identical numerics — orbax reshards through the new state template's
 shardings (trainer.py::restore). The reference had no recovery story at
 all beyond TPUEstimator restarts on a fixed topology."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -12,6 +13,9 @@ from dalle_mtf_tpu.parallel.mesh import build_mesh
 from dalle_mtf_tpu.train.tasks import make_vae_task
 from dalle_mtf_tpu.train.trainer import Trainer
 from dalle_mtf_tpu.utils.config import Config
+
+# long-running: excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
 
 
 def _fixed_mesh(n):

@@ -6,12 +6,16 @@ The model-parallel VAE test realizes the capability the reference's broken
 train_vae.py documented (an mtf model-parallel VAE path, SURVEY §2 #10).
 """
 
+import pytest
 import jax
 import numpy as np
 
 from dalle_mtf_tpu.train.tasks import make_vae_task
 from dalle_mtf_tpu.train.trainer import Trainer
 from dalle_mtf_tpu.utils.config import Config
+
+# long-running: excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
 
 
 def test_dryrun_multichip_entrypoint():

@@ -15,6 +15,9 @@ import pytest
 
 from dalle_mtf_tpu.ops.layer_norm import layer_norm, layer_norm_reference
 
+# long-running: excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 def _make(r, e, dtype, seed=0):
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)

@@ -19,6 +19,9 @@ import jax
 import numpy as np
 import pytest
 
+# long-running: excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 def _free_port() -> int:
     with socket.socket() as s:

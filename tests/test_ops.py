@@ -11,6 +11,9 @@ from dalle_mtf_tpu.ops import (
     softmax_cross_entropy_with_logits,
 )
 
+# long-running: excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 class TestGumbelSoftmax:
     def test_soft_sums_to_one(self):

@@ -2,6 +2,7 @@
 updates on a 1-device mesh and a data x model mesh (what mtf's layout
 solver guaranteed implicitly — here it's GSPMD, so we verify)."""
 
+import pytest
 import jax
 import numpy as np
 
@@ -10,6 +11,9 @@ from dalle_mtf_tpu.parallel.mesh import build_mesh
 from dalle_mtf_tpu.train.tasks import make_dalle_task
 from dalle_mtf_tpu.train.trainer import Trainer
 from dalle_mtf_tpu.utils.config import Config
+
+# long-running: excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
 
 
 def _params(mesh_shape, layout):

@@ -16,6 +16,9 @@ from dalle_mtf_tpu.train.tasks import make_dalle_task
 from dalle_mtf_tpu.train.trainer import Trainer
 from dalle_mtf_tpu.utils.config import Config
 
+# long-running: excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 CFG = DalleConfig(
     n_embd=64, text_vocab_size=48, image_vocab_size=32,
     text_seq_len=8, image_seq_len=16, n_layers=4, n_heads=2,

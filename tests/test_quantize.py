@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -11,6 +12,9 @@ from dalle_mtf_tpu.quantize import (
     unpack_int4,
 )
 from dalle_mtf_tpu.sample import generate_image_tokens
+
+# long-running: excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
 
 CFG = DalleConfig(
     n_embd=64, text_vocab_size=40, image_vocab_size=32,

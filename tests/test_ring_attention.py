@@ -9,6 +9,9 @@ from dalle_mtf_tpu.ops.attention import attention_reference
 from dalle_mtf_tpu.ops.ring_attention import ring_attention_sharded
 from dalle_mtf_tpu.parallel.mesh import build_mesh
 
+# long-running: excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("n_shards", [2, 4, 8])
 def test_ring_matches_reference(n_shards):

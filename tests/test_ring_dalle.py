@@ -3,6 +3,7 @@ DP x SP x TP) mesh must match the single-device global-attention step —
 ring attention computes the identical function, sharded over the sequence.
 """
 
+import pytest
 import jax
 import numpy as np
 
@@ -10,6 +11,9 @@ from dalle_mtf_tpu.models.vae import DiscreteVAE, VAEConfig
 from dalle_mtf_tpu.train.tasks import make_dalle_task
 from dalle_mtf_tpu.train.trainer import Trainer
 from dalle_mtf_tpu.utils.config import Config
+
+# long-running: excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
 
 
 def _params(mesh_shape, layout, attention_type):

@@ -17,6 +17,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 from dalle_mtf_tpu.ops.attention import attention_reference
 from dalle_mtf_tpu.ops.ring_attention import ring_attention
 
+# long-running: excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 def _mesh(n):
     devs = np.array(jax.devices()[:n]).reshape(n)

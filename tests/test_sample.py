@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -5,6 +6,9 @@ import numpy as np
 from dalle_mtf_tpu.models.dalle import DALLE, DalleConfig
 from dalle_mtf_tpu.models.vae import DiscreteVAE, VAEConfig
 from dalle_mtf_tpu.sample import generate_image_tokens, generate_images
+
+# long-running: excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
 
 CFG = DalleConfig(
     n_embd=32,

@@ -15,6 +15,9 @@ from dalle_mtf_tpu.models.dalle import DALLE, DalleConfig
 from dalle_mtf_tpu.models.vae import DiscreteVAE, VAEConfig
 from dalle_mtf_tpu.serve import BatchingSampler, make_server
 
+# long-running: excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 CFG = DalleConfig(
     n_embd=32, text_vocab_size=48, image_vocab_size=16,
     text_seq_len=4, image_seq_len=4, n_layers=1, n_heads=2,

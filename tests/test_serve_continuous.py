@@ -23,6 +23,9 @@ from dalle_mtf_tpu.models.vae import DiscreteVAE, VAEConfig
 from dalle_mtf_tpu.sample import generate_images
 from dalle_mtf_tpu.serve import ContinuousBatchingSampler
 
+# long-running: excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 # one convblock: the 8px VAE grid is 4x4 = 16 image tokens, matching
 # image_seq_len (several chunks per image at chunk=3..4)
 CFG = DalleConfig(

@@ -1,6 +1,7 @@
 """Sharded (tensor-parallel) sampling: generation with params sharded over a
 data x model mesh must match unsharded generation exactly (greedy)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -8,6 +9,9 @@ import numpy as np
 from dalle_mtf_tpu.models.dalle import DALLE, DalleConfig
 from dalle_mtf_tpu.parallel.mesh import build_mesh, parse_layout, shard_params
 from dalle_mtf_tpu.sample import generate_image_tokens
+
+# long-running: excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
 
 CFG = DalleConfig(
     n_embd=64,

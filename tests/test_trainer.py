@@ -11,6 +11,9 @@ from dalle_mtf_tpu.train.tasks import make_dalle_task, make_vae_task
 from dalle_mtf_tpu.train.trainer import Trainer, num_microbatches
 from dalle_mtf_tpu.utils.config import Config
 
+# long-running: excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 class TestLRSchedule:
     def test_cosine_with_warmup_reference_semantics(self):

@@ -1,6 +1,7 @@
 """Hardening tests: optimizer variants, z-loss, local-attention training,
 mid-run resume with modified data, microbatch+TP combined."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -9,6 +10,9 @@ from dalle_mtf_tpu.train.optim import get_optimizer
 from dalle_mtf_tpu.train.tasks import make_vae_task
 from dalle_mtf_tpu.train.trainer import Trainer
 from dalle_mtf_tpu.utils.config import Config
+
+# long-running: excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
 
 
 def test_adafactor_path_trains():

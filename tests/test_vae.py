@@ -7,6 +7,9 @@ import pytest
 from dalle_mtf_tpu.models.vae import DiscreteVAE, VAEConfig, temperature_schedule
 from dalle_mtf_tpu.utils.config import Config
 
+# long-running: excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 CFG = VAEConfig(
     num_tokens=64,

@@ -12,6 +12,9 @@ from dalle_mtf_tpu.ops.xent_fused import (
 )
 from dalle_mtf_tpu.parallel.mesh import build_mesh
 
+# long-running: excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("z_loss", [0.0, 1e-2])
 def test_fused_matches_unfused_loss_and_grads(z_loss):
