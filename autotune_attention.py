@@ -64,6 +64,23 @@ def _time_fused(s: int, b: int, h: int, d: int, dtype) -> float:
     return (time.perf_counter() - t0) / (ITERS * N_CHAIN) * 1e3
 
 
+
+def _time_fused_safe(s, b, h, d, dtype):
+    """_time_fused, with per-candidate compile failures (e.g. a cap whose
+    backward tile overflows the 16 MB scoped-VMEM budget on this chip
+    generation) treated as a skip, not a crash — the sweep must survive
+    probing past the feasible region."""
+    import jax.errors as jerr  # noqa: PLC0415
+
+    try:
+        return _time_fused(s, b, h, d, dtype)
+    except (jerr.JaxRuntimeError, RuntimeError, ValueError) as e:
+        msg = str(e).splitlines()[0][:160]
+        print(f"  candidate failed to compile/run (skipped): {msg}",
+              flush=True)
+        return float("inf")
+
+
 def main():
     from dalle_mtf_tpu.ops import attention as attn
 
@@ -94,10 +111,15 @@ def main():
                 if args.fp32 and cand > attn.WEDGE_MAX_BLOCK // 2 + 128:
                     continue  # fp32 VMEM budget — mirror _wedge_layout
                 attn.set_tune_table({"wedge": {key: cand}})
-                ms = _time_fused(s, args.b, args.h, args.d, dtype)
+                ms = _time_fused_safe(s, args.b, args.h, args.d, dtype)
+                if ms == float("inf"):
+                    continue
                 rows[cand] = round(ms, 4)
                 print(f"S={s} wedge cap={cand}: {ms:.3f} ms", flush=True)
             attn.set_tune_table(None)
+            if not rows:
+                print(f"S={s} ({key}): every candidate failed; skipping")
+                continue
             best = min(rows, key=rows.get)
             table["wedge"][key] = best
             measurements[f"wedge {key}"] = {str(k): v for k, v in rows.items()}
@@ -121,11 +143,16 @@ def main():
                     if cap:
                         entry["wedge"] = {key: cap}
                     attn.set_tune_table(entry)
-                    ms = _time_fused(s, args.b, args.h, args.d, dtype)
+                    ms = _time_fused_safe(s, args.b, args.h, args.d, dtype)
+                    if ms == float("inf"):
+                        continue
                     rows[(cap, bw)] = round(ms, 4)
                     print(f"S={s} cap={cap or 'loop'} bwd={bw}: {ms:.3f} ms",
                           flush=True)
             attn.set_tune_table(None)
+            if not rows:
+                print(f"S={s} ({key}): every candidate failed; skipping")
+                continue
             best = min(rows, key=rows.get)
             cap, bw = best
             if cap:
@@ -148,10 +175,15 @@ def main():
                         if s_pad % bw == 0 and bw != c]
                 for entry in [[c, c]] + [[c, c, bw, bw] for bw in bwds]:
                     attn.set_tune_table({"loop": {key: entry}})
-                    ms = _time_fused(s, args.b, args.h, args.d, dtype)
+                    ms = _time_fused_safe(s, args.b, args.h, args.d, dtype)
+                    if ms == float("inf"):
+                        continue
                     rows[tuple(entry)] = round(ms, 4)
                     print(f"S={s} loop {entry}: {ms:.3f} ms", flush=True)
             attn.set_tune_table(None)
+            if not rows:
+                print(f"S={s} ({key}): every candidate failed; skipping")
+                continue
             best = min(rows, key=rows.get)
             table.setdefault("loop", {})[key] = list(best)
             measurements[f"loop {key}"] = {str(list(k)): v
