@@ -56,10 +56,13 @@ def _decode_unroll(n_layers: int) -> int:
     "Decode latency"): the rolled scan adds loop carry/condition overhead
     per layer and blocks XLA from scheduling across layer boundaries
     (e.g. prefetching layer l+1's weights during layer l's matvecs).
-    Measured at dalle_coco scale on v5e (int4, banded head): full unroll
-    0.691 s vs rolled 0.728 s p50/image — and partial unroll LOSES
-    (unroll=4: 0.889 s; the mixed loop+unroll body defeats the scheduler),
-    so the default is "full". ``DALLE_TPU_DECODE_UNROLL`` = int or
+    Measured at dalle_coco scale on v5e (r4 drive, BENCH.md decode
+    matrix): full unroll wins on the quantized arms — int8 0.514 s vs
+    0.568 rolled, int4 0.584 vs 0.636 — while bf16 is marginally better
+    rolled (0.730 vs 0.755); partial unroll LOSES outright (unroll=4
+    measured 0.889 s in r3 — the mixed loop+unroll body defeats the
+    scheduler). Default is "full" (quantized decode is the recommended
+    serving path). ``DALLE_TPU_DECODE_UNROLL`` = int or
     "full"; set 1 to bound compile time on very deep decode stacks.
     Training uses the rolled scan unconditionally (its body is MXU-bound;
     unrolling only bloats compile).
