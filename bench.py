@@ -30,16 +30,18 @@ BASELINE_TOKENS_PER_SEC_CHIP = 24_500.0
 
 # per-chip batch: sized for one v5e/v5p chip's HBM at dalle_coco scale
 # (overridable for sweeps: BENCH_BATCH / BENCH_REMAT_POLICY env vars).
-# 18 is the measured sweet spot under donated state (16: 82.7k, 18: 83.2k,
-# 20: 81.8k tok/s/chip — BENCH.md r3 sweep)
+# 22 is the measured sweet spot under packed attention + dots_and_attn
+# (r4 sweep: 16: 91.4k, 18: 93.9k, 20: 94.6k, 22: 94.9k, 24: 89.5k —
+# BENCH.md); the r3 sweet spot was 18 under dots_saveable.
 import os  # noqa: E402
 
-PER_CHIP_BATCH = int(os.environ.get("BENCH_BATCH", 18))
-REMAT_POLICY = os.environ.get("BENCH_REMAT_POLICY", "dots_saveable")
+PER_CHIP_BATCH = int(os.environ.get("BENCH_BATCH", 22))
+REMAT_POLICY = os.environ.get("BENCH_REMAT_POLICY", "dots_and_attn")
 FUSED_XENT = bool(int(os.environ.get("BENCH_FUSED_XENT", "0")))
 XENT_CHUNKS = int(os.environ.get("BENCH_XENT_CHUNKS", "8"))
 LN_DTYPE = os.environ.get("BENCH_LN_DTYPE", "float32")
 LN_IMPL = os.environ.get("BENCH_LN_IMPL", "xla")
+ATTN_PACKED = bool(int(os.environ.get("BENCH_ATTN_PACKED", "1")))
 WARMUP_STEPS = 3
 BENCH_STEPS = 10
 
@@ -65,6 +67,7 @@ def main():
         xent_chunks=XENT_CHUNKS,
         ln_dtype=LN_DTYPE,
         ln_impl=LN_IMPL,
+        attn_packed=ATTN_PACKED,
     )
     model = DALLE(cfg)
     batch = PER_CHIP_BATCH * n_chips

@@ -96,6 +96,17 @@ class DalleConfig:
     ring_seq_axis: str = "seq"
     ring_batch_axis: str | None = "data"
     ring_heads_axis: str | None = None
+    # packed-layout attention (ops/attention_packed.py): q/k/v stay in the
+    # projections' natural [B, S, H*D] layout and the fused wedge kernels
+    # slice head columns via BlockSpec index maps — deleting the per-layer
+    # [B,H,S,D] transpose copies, remat-stack layout fixups, host prefix
+    # slices/concats, and 94 MB lse/dsum broadcast operands the r4 trace
+    # decomposition measured (~15-20 ms/step at dalle_coco scale). Shapes
+    # outside the fused regime (long S, fp32, head_dim not a lane
+    # multiple, non-TPU) transparently unpack and take the r1-r3
+    # dispatcher, so this is safe to leave on everywhere except ring SP
+    # (which has its own k/v rotation layout).
+    attn_packed: bool = True
     # mesh axis the vocab dim shards over (layout rule ``vocab_dim:<axis>``)
     # — routes the fused xent to its shard-local-lse + psum path so no
     # gathered [*, V] logits ever exist under TP
@@ -130,9 +141,14 @@ class DalleConfig:
     #   "save_attn_lean"   — only attention out+lse and mlp2 (lowest memory
     #                        short of full recompute; projections re-run).
     #   "dots_and_attn"    — dots_saveable PLUS attention out/lse (nothing
-    #                        recomputed in bwd; most memory). Measured
-    #                        neutral on v5e at dalle_coco scale (the remat'd
-    #                        attention re-forward is overlapped; BENCH.md r4).
+    #                        recomputed in bwd; most memory). Under
+    #                        attn_packed it is the MEASURED WINNER on v5e
+    #                        at dalle_coco scale (93.9k vs 91.5k tok/s at
+    #                        batch 18 — the saved out/lse stack in natural
+    #                        layout, so eliding the attention re-forward
+    #                        finally pays; BENCH.md r4). Under the bhsd
+    #                        layout the stacked saves cost transposes and
+    #                        it measured neutral.
     #   "nothing_saveable" — full recompute (biggest models).
     # Measured at dalle_coco scale on v5e (BENCH.md): dots_saveable@16 wins
     # (79.7k tok/s) — the remat'd attention forward overlaps into the
@@ -211,6 +227,7 @@ class DalleConfig:
             decode_kernels=bool(params.get("decode_kernels", False)),
             ln_dtype=params.get("ln_dtype") or "float32",
             ln_impl=params.get("ln_impl") or "xla",
+            attn_packed=bool(params.get("attn_packed", True)),
         )
 
     @property
@@ -506,6 +523,29 @@ class DALLE:
         v = self._einsum_w(p, "wv", "bse,ehd->bhsd", a_in)
         return q, k, v
 
+    def _qkv_packed(self, p, a_in):
+        """[B, S, E] -> packed q, k, v [B, S, H*D]: the matmuls' natural
+        output layout — no head transpose is ever materialized (the
+        packed kernels slice head columns in their BlockSpecs; see
+        ops/attention_packed.py). Training-path only (unquantized)."""
+        e = a_in.shape[-1]
+
+        def proj(name):
+            w = self._w(p, name)  # [E, H, D]
+            return jnp.einsum("bse,ef->bsf", a_in, w.reshape(e, -1))
+
+        return proj("wq"), proj("wk"), proj("wv")
+
+    def _attn_out_packed(self, p, a):
+        """Packed attention output [B, S, H*D] -> [B, S, E] projection —
+        a plain matmul (the bhsd,hde->bse einsum's transpose never
+        exists)."""
+        dtype = self.cfg.policy.compute_dtype
+        w = self._w(p, "wo")  # [H, D, E]
+        return jnp.einsum(
+            "bsf,fe->bse", a, w.reshape(-1, w.shape[-1])
+        ) + p["o_b"].astype(dtype)
+
     def _attn_out(self, p, a):
         dtype = self.cfg.policy.compute_dtype
         return self._einsum_w(p, "wo", "bhsd,hde->bse", a) + p["o_b"].astype(
@@ -622,10 +662,46 @@ class DALLE:
 
         # --- attention
         a_in = self._layer_norm(x, p["ln1_g"], p["ln1_b"])
-        q, k, v = (checkpoint_name(t, "qkv") for t in self._qkv(p, a_in))
-        q, k, v = (constrain(t, BATCH, HEADS, SEQ, KV) for t in (q, k, v))
         window = self._window
         drop = cfg.attention_dropout if train else 0.0
+        use_packed = (
+            cfg.attn_packed
+            and not self._is_ring
+            and p.get("wq_scale") is None
+            and p.get("wq_int4") is None
+        )
+        if use_packed:
+            # packed layout: q/k/v/out stay [B, S, H*D] end to end — the
+            # head axis exists only inside the kernels' BlockSpecs. The
+            # last dim is the heads dim contiguously grouped, so the TP
+            # heads rule shards it identically to the [B,H,S,D] form.
+            from dalle_mtf_tpu.ops.attention_packed import (  # noqa: PLC0415
+                causal_attention_packed,
+            )
+
+            q, k, v = (
+                checkpoint_name(t, "qkv") for t in self._qkv_packed(p, a_in)
+            )
+            q, k, v = (constrain(t, BATCH, SEQ, HEADS) for t in (q, k, v))
+            a = causal_attention_packed(
+                q, k, v, h, window=window,
+                dropout_rate=drop,
+                dropout_rng=r_attn if drop > 0.0 else None,
+            )
+            a = constrain(a, BATCH, SEQ, HEADS)
+            a = checkpoint_name(self._attn_out_packed(p, a), "attn_proj")
+            a = self._dropout(r_res1, a, cfg.residual_dropout, train)
+            x = x + a
+            x = constrain(x, BATCH, SEQ, EMBED)
+
+            # --- mlp (4x expansion, relu — reference models.py:317-333)
+            m_in = self._layer_norm(x, p["ln2_g"], p["ln2_b"])
+            m = checkpoint_name(self._mlp(p, m_in), "mlp2")
+            m = self._dropout(r_res2, m, cfg.residual_dropout, train)
+            x = x + m
+            return constrain(x, BATCH, SEQ, EMBED)
+        q, k, v = (checkpoint_name(t, "qkv") for t in self._qkv(p, a_in))
+        q, k, v = (constrain(t, BATCH, HEADS, SEQ, KV) for t in (q, k, v))
         if self._is_ring:
             # sequence-parallel attention: k/v shards rotate over the mesh
             # axis mapped by the total_seq_dim layout rule (ICI ppermute

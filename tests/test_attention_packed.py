@@ -1,0 +1,197 @@
+"""Packed-layout fused wedge attention (ops/attention_packed.py).
+
+Parity of the [B, S, H*D] fused kernels against (a) the dense XLA
+reference and (b) the per-call [B, H, S, D] wedge family — values, grads,
+window masks, hash dropout, and the model-level packed-vs-unpacked arms.
+Kernels run under interpret=True on the CPU mesh; the layout/eligibility
+logic runs for real.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dalle_mtf_tpu.ops.attention import attention_reference
+from dalle_mtf_tpu.ops.attention_packed import (
+    _fused_backward,
+    _fused_forward,
+    _packed_attention,
+    _packed_layout,
+    causal_attention_packed,
+    packed_kernel_eligible,
+)
+
+# kernel sweeps are minutes-scale on the 1-core host
+pytestmark = pytest.mark.slow
+
+B, H, S, D = 2, 4, 384, 128
+E = H * D
+
+
+def _mk(seed=0, s=S, dtype=jnp.bfloat16):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    return tuple(
+        jax.random.normal(k, (B, s, E), jnp.float32).astype(dtype) for k in ks
+    )
+
+
+def _unpack(t):
+    b, s, e = t.shape
+    return t.reshape(b, s, H, D).transpose(0, 2, 1, 3)
+
+
+def _pack(t):
+    b, h, s, d = t.shape
+    return t.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+
+class TestForward:
+    @pytest.mark.parametrize("window", [None, 128])
+    def test_matches_reference(self, window):
+        q, k, v = _mk()
+        ref = _pack(
+            attention_reference(_unpack(q), _unpack(k), _unpack(v), True, window)
+        ).astype(jnp.float32)
+        out = causal_attention_packed(
+            q, k, v, H, window=window, interpret=True
+        ).astype(jnp.float32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
+
+    def test_unpadded_vs_padded_seq(self):
+        # s not a 128 multiple exercises the seq_len masking + row padding
+        q, k, v = _mk(s=200)
+        ref = _pack(
+            attention_reference(_unpack(q), _unpack(k), _unpack(v), True)
+        ).astype(jnp.float32)
+        out = causal_attention_packed(q, k, v, H, interpret=True).astype(
+            jnp.float32
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
+
+    def test_bit_exact_vs_percall_wedge(self):
+        from dalle_mtf_tpu.ops.attention import _wedge_forward
+
+        q, k, v = _mk()
+        out_p = _fused_forward(q, k, v, H, None, True)
+        out_w = _wedge_forward(_unpack(q), _unpack(k), _unpack(v), None, True)
+        assert jnp.array_equal(out_p, _pack(out_w))
+
+
+class TestBackward:
+    @pytest.mark.parametrize("window", [None, 128])
+    def test_grads_match_reference(self, window):
+        q, k, v = _mk()
+
+        def loss_packed(q, k, v):
+            o = causal_attention_packed(q, k, v, H, window=window,
+                                        interpret=True)
+            return (o.astype(jnp.float32) ** 2).sum()
+
+        def loss_ref(q, k, v):
+            o = attention_reference(
+                _unpack(q), _unpack(k), _unpack(v), True, window
+            )
+            return (_pack(o).astype(jnp.float32) ** 2).sum()
+
+        gp = jax.grad(loss_packed, (0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, (0, 1, 2))(q, k, v)
+        for a, b in zip(gp, gr):
+            scale = float(jnp.max(jnp.abs(b.astype(jnp.float32)))) + 1e-9
+            err = float(
+                jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
+            )
+            assert err / scale < 2e-2
+
+    def test_fwd_bwd_block_mismatch(self):
+        # lse's row form is block-size agnostic: feed a backward whose
+        # layout pads differently than the forward's (s=200 -> fwd/bwd both
+        # round to 256, then force a different bwd padding via the raw API)
+        q, k, v = _mk(s=256)
+        out, lse = _fused_forward(q, k, v, H, None, True, with_lse=True)
+        g = jnp.ones_like(out)
+        dq, dk, dv = _fused_backward(q, k, v, out, lse, g, H, None, True)
+        assert dq.shape == q.shape and dk.shape == k.shape
+
+    def test_dropout_grads_match_percall(self):
+        from dalle_mtf_tpu.ops.attention import _wedge_attention_dropout
+
+        q, k, v = _mk()
+        seed = jnp.array([[987]], jnp.int32)
+
+        def lp(q, k, v):
+            o = _packed_attention(q, k, v, seed, H, None, True, 0.25)
+            return (o.astype(jnp.float32) ** 2).sum()
+
+        def lw(q, k, v):
+            o = _wedge_attention_dropout(q, k, v, seed, None, True, 0.25)
+            return (o.astype(jnp.float32) ** 2).sum()
+
+        # forward must be BIT-identical (same hash coordinates, same grid
+        # ordering)
+        o_p = _packed_attention(q, k, v, seed, H, None, True, 0.25)
+        o_w = _wedge_attention_dropout(
+            _unpack(q), _unpack(k), _unpack(v), seed, None, True, 0.25
+        )
+        assert jnp.array_equal(o_p, _pack(o_w))
+
+        gp = jax.grad(lp, (0, 1, 2))(q, k, v)
+        gw = jax.grad(lw, (0, 1, 2))(_unpack(q), _unpack(k), _unpack(v))
+        for a, b in zip(gp, gw):
+            err = float(
+                jnp.max(
+                    jnp.abs(a.astype(jnp.float32) - _pack(b).astype(jnp.float32))
+                )
+            )
+            assert err < 5e-3
+
+
+class TestDispatch:
+    def test_eligibility(self):
+        assert packed_kernel_eligible(1280, 1024, 8, 2)
+        assert packed_kernel_eligible(2560, 1024, 8, 2)
+        # fp32 falls back (per-call family owns the itemsize-4 layouts)
+        assert not packed_kernel_eligible(1280, 1024, 8, 4)
+        # beyond the wedge regime -> loop family via unpack
+        assert not packed_kernel_eligible(4352, 1024, 8, 2)
+        # head_dim not a lane multiple
+        assert not packed_kernel_eligible(1280, 768, 12, 2)
+
+    def test_bench_shape_layout_unpadded(self):
+        # the dalle_coco hot path must not pad (a 13 MB VMEM model once
+        # forced block 512 -> s_pad 1536: +8 ms/step of pads, BENCH.md r4)
+        block, s_pad, n = _packed_layout(1280, 2, True, 128)
+        assert (block, s_pad, n) == (640, 1280, 2)
+        block, s_pad, n = _packed_layout(1280, 2, False, 128)
+        assert (block, s_pad, n) == (640, 1280, 2)
+
+    def test_fallback_matches_reference_off_tpu(self):
+        # no interpret + CPU backend -> unpack/defer path, still correct
+        q, k, v = _mk(dtype=jnp.float32)
+        out = causal_attention_packed(q, k, v, H)
+        ref = _pack(attention_reference(_unpack(q), _unpack(k), _unpack(v), True))
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-5
+        )
+
+
+class TestModelParity:
+    def test_loss_and_grads_packed_vs_unpacked(self):
+        from dalle_mtf_tpu.models.dalle import DALLE, DalleConfig
+
+        base = dict(
+            n_embd=256, text_vocab_size=100, image_vocab_size=32,
+            text_seq_len=16, image_seq_len=16, n_layers=2, n_heads=2,
+        )
+        m1 = DALLE(DalleConfig(**base, attn_packed=True))
+        m0 = DALLE(DalleConfig(**base, attn_packed=False))
+        p = m1.init(jax.random.PRNGKey(0))
+        toks = jax.random.randint(jax.random.PRNGKey(1), (2, 32), 0, 132)
+        rng = jax.random.PRNGKey(2)
+        l1, _ = m1.loss(p, toks, rng, train=True)
+        l0, _ = m0.loss(p, toks, rng, train=True)
+        assert abs(float(l1) - float(l0)) < 1e-5
+        g1 = jax.grad(lambda p: m1.loss(p, toks, rng, train=True)[0])(p)
+        g0 = jax.grad(lambda p: m0.loss(p, toks, rng, train=True)[0])(p)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g0)):
+            assert float(jnp.max(jnp.abs(a - b))) < 1e-5

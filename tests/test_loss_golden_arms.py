@@ -7,6 +7,10 @@ slow drift in any of them fails the suite, not just step-1 exactness:
 - fused_xent=true (chunked streaming loss, ops/xent_fused.py)
 - ring sequence parallelism on a data:2,seq:4 mesh (ops/ring_attention.py)
 - pipeline parallelism on a pipe:2,data:2 mesh (parallel/pipeline.py)
+- attn_packed=false (the r1-r3 [B,H,S,D] attention layout — its qkv
+  projection contracts in a different f32 association order than the r4
+  packed default, so it keeps its own pinned trajectory; the fixture
+  equals the pre-r4 default-arm fixture bit for bit)
 
 All three use the same tiny model/data/optimizer schedule as the default
 fixture. Regenerate intentionally with REGEN_FIXTURES=1 (all four fixtures
@@ -99,6 +103,13 @@ def test_ring_sp_loss_curve_matches_fixture():
     mesh = build_mesh("data:2,seq:4")
     curve = _run_curve(cfg, mesh=mesh)
     _assert_curve("dalle_loss_curve_ring_sp.json", curve)
+
+
+@pytest.mark.slow
+def test_unpacked_attn_loss_curve_matches_fixture():
+    cfg = dataclasses.replace(CFG, attn_packed=False)
+    curve = _run_curve(cfg)
+    _assert_curve("dalle_loss_curve_unpacked.json", curve)
 
 
 @pytest.mark.slow

@@ -17,7 +17,7 @@ PER_CHIP_BATCH = 18
 cfg = DalleConfig(
     n_embd=1024, text_vocab_size=50258, image_vocab_size=512,
     text_seq_len=256, image_seq_len=1024, n_layers=12, n_heads=8,
-    bf_16=True, recompute_grad=True, remat_policy="dots_saveable",
+    bf_16=True, recompute_grad=True, remat_policy="dots_saveable", attn_packed=True,
 )
 model = DALLE(cfg)
 n_chips = jax.device_count()
