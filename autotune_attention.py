@@ -81,6 +81,92 @@ def _time_fused_safe(s, b, h, d, dtype):
         return float("inf")
 
 
+def _time_packed(s: int, b: int, h: int, d: int, dtype) -> float:
+    """ms per fused value+grad call of the PACKED family at the current
+    tune table ([B, S, H*D] layout, ops/attention_packed.py)."""
+    from dalle_mtf_tpu.ops.attention_packed import causal_attention_packed
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q, k, v = (jax.random.normal(kk, (b, s, h * d), dtype) for kk in ks)
+
+    def step(c):
+        qq, kk, vv = c
+
+        def f(q_, k_, v_):
+            return (causal_attention_packed(q_, k_, v_, h) ** 2).sum()
+
+        dq, dk, dv = jax.grad(f, argnums=(0, 1, 2))(qq, kk, vv)
+        return (qq + dq * 1e-30, kk + dk * 1e-30, vv + dv * 1e-30)
+
+    @jax.jit
+    def run(c):
+        return jax.lax.scan(lambda c, _: (step(c), None), c, None,
+                            length=N_CHAIN)[0]
+
+    c = run((q, k, v))
+    c = run((q, k, v))
+    jax.tree_util.tree_map(lambda x: float(jnp.sum(x.astype(jnp.float32))), c)
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        c = run((q, k, v))
+    jax.tree_util.tree_map(lambda x: float(jnp.sum(x.astype(jnp.float32))), c)
+    return (time.perf_counter() - t0) / (ITERS * N_CHAIN) * 1e3
+
+
+def _time_packed_safe(s, b, h, d, dtype):
+    import jax.errors as jerr  # noqa: PLC0415
+
+    try:
+        return _time_packed(s, b, h, d, dtype)
+    except (jerr.JaxRuntimeError, RuntimeError, ValueError) as e:
+        msg = str(e).splitlines()[0][:160]
+        print(f"  packed candidate failed (skipped): {msg}", flush=True)
+        return float("inf")
+
+
+def tune_packed(args, attn, table, measurements, dtype, itemsize):
+    """Sweep the packed fused family's fwd x bwd block caps. Entries land
+    under table["packed"]["<s128>,<itemsize>"] = {"fwd": b, "bwd": b} and
+    override both the wedge cap and the VMEM clamp at runtime (the
+    candidate demonstrably compiled here)."""
+    from dalle_mtf_tpu.ops import attention_packed as ap_mod
+
+    for s in args.s:
+        s128 = -(-s // 128) * 128
+        key = f"{s128},{itemsize}"
+        if itemsize > 2 or s128 > attn.WHOLE_ROW_MAX_SEQ:
+            print(f"S={s}: outside the packed fused regime; skipping")
+            continue
+        base_fwd = ap_mod._packed_layout(s, itemsize, False, args.d)[0]
+        base_bwd = ap_mod._packed_layout(s, itemsize, True, args.d)[0]
+        rows = {}
+        for fw in CANDIDATES:
+            for bw in CANDIDATES:
+                # only sweep around the analytic picks — the grid is
+                # quadratic and far-off candidates either OOM or lose
+                if abs(fw - base_fwd) > 256 or abs(bw - base_bwd) > 256:
+                    continue
+                attn.set_tune_table(
+                    {"packed": {key: {"fwd": fw, "bwd": bw}}})
+                ms = _time_packed_safe(s, args.b, args.h, args.d, dtype)
+                if ms == float("inf"):
+                    continue
+                rows[(fw, bw)] = round(ms, 4)
+                print(f"S={s} packed fwd={fw} bwd={bw}: {ms:.3f} ms",
+                      flush=True)
+        attn.set_tune_table(None)
+        if not rows:
+            print(f"S={s} ({key}): every packed candidate failed; skipping")
+            continue
+        best = min(rows, key=rows.get)
+        table.setdefault("packed", {})[key] = {
+            "fwd": best[0], "bwd": best[1]}
+        measurements[f"packed {key}"] = {str(list(k)): v
+                                         for k, v in rows.items()}
+        print(f"S={s} ({key}): best packed fwd={best[0]} bwd={best[1]} "
+              f"({rows[best]:.3f} ms)")
+
+
 def main():
     from dalle_mtf_tpu.ops import attention as attn
 
@@ -90,6 +176,9 @@ def main():
     ap.add_argument("--h", type=int, default=8)
     ap.add_argument("--d", type=int, default=128)
     ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--packed", action="store_true",
+                    help="sweep the packed fused family instead of the "
+                    "per-call wedge/loop families")
     ap.add_argument("--out", default="runs/attn_tune.json")
     args = ap.parse_args()
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
@@ -101,6 +190,14 @@ def main():
             table = json.load(f)
         table.setdefault("wedge", {})
     measurements = table.setdefault("_measurements", {})
+
+    if args.packed:
+        tune_packed(args, attn, table, measurements, dtype, itemsize)
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(table, f, indent=1, sort_keys=True)
+        print(f"wrote {args.out}")
+        return
 
     for s in args.s:
         s128 = -(-s // 128) * 128

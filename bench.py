@@ -42,6 +42,7 @@ XENT_CHUNKS = int(os.environ.get("BENCH_XENT_CHUNKS", "8"))
 LN_DTYPE = os.environ.get("BENCH_LN_DTYPE", "float32")
 LN_IMPL = os.environ.get("BENCH_LN_IMPL", "xla")
 ATTN_PACKED = bool(int(os.environ.get("BENCH_ATTN_PACKED", "1")))
+SCAN_UNROLL = int(os.environ.get("BENCH_SCAN_UNROLL", "1"))
 WARMUP_STEPS = 3
 BENCH_STEPS = 10
 
@@ -68,6 +69,7 @@ def main():
         ln_dtype=LN_DTYPE,
         ln_impl=LN_IMPL,
         attn_packed=ATTN_PACKED,
+        scan_unroll=SCAN_UNROLL,
     )
     model = DALLE(cfg)
     batch = PER_CHIP_BATCH * n_chips

@@ -60,7 +60,8 @@ def time_chained(step, init) -> float:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--impl", default="pallas", choices=["pallas", "xla", "both"])
+    ap.add_argument("--impl", default="pallas",
+                    choices=["pallas", "xla", "packed", "both", "all"])
     ap.add_argument("--fwd-only", action="store_true")
     ap.add_argument("--b", type=int, default=None)
     ap.add_argument("--h", type=int, default=None)
@@ -81,19 +82,34 @@ def main():
     k = jax.random.normal(jax.random.fold_in(kq, 1), (B, H, S, D), jnp.bfloat16)
     v = jax.random.normal(jax.random.fold_in(kq, 2), (B, H, S, D), jnp.bfloat16)
 
-    impls = ["pallas", "xla"] if args.impl == "both" else [args.impl]
+    impls = {"both": ["pallas", "xla"],
+             "all": ["packed", "pallas", "xla"]}.get(args.impl, [args.impl])
+    qp = q.transpose(0, 2, 1, 3).reshape(B, S, H * D)
+    kp = k.transpose(0, 2, 1, 3).reshape(B, S, H * D)
+    vp = v.transpose(0, 2, 1, 3).reshape(B, S, H * D)
     for impl in impls:
-        if impl == "pallas":
+        if impl == "packed":
+            # the packed family times on [B, S, H*D] operands (its whole
+            # point is never materializing the [B,H,S,D] layout)
+            from dalle_mtf_tpu.ops.attention_packed import (
+                causal_attention_packed,
+            )
+
+            f = lambda q_, k_, v_: causal_attention_packed(q_, k_, v_, H)
+            qi, ki, vi = qp, kp, vp
+        elif impl == "pallas":
             f = lambda q_, k_, v_: A.causal_attention(q_, k_, v_)
+            qi, ki, vi = q, k, v
         else:
             f = lambda q_, k_, v_: A.attention_reference(q_, k_, v_, True)
+            qi, ki, vi = q, k, v
 
-        def fwd_step(c, f=f):
+        def fwd_step(c, f=f, ki=ki, vi=vi):
             q_, = c
-            o = f(q_, k, v)
+            o = f(q_, ki, vi)
             return (q_ + o * 1e-30,)
 
-        dt = time_chained(fwd_step, (q,))
+        dt = time_chained(fwd_step, (qi,))
         tf = causal_flops(False) / dt / 1e12
         print(f"{impl:8s} fwd      {dt*1e3:7.3f} ms  {tf:6.1f} TF/s")
 
@@ -108,7 +124,7 @@ def main():
                 dq, dk, dv = g(q_, k_, v_)
                 return (q_ + dq * 1e-30, k_ + dk * 1e-30, v_ + dv * 1e-30)
 
-            dt = time_chained(bwd_step, (q, k, v))
+            dt = time_chained(bwd_step, (qi, ki, vi))
             tf = causal_flops(True) / dt / 1e12
             print(f"{impl:8s} fwd+bwd  {dt*1e3:7.3f} ms  {tf:6.1f} TF/s")
 

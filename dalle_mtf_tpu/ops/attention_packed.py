@@ -76,12 +76,14 @@ from dalle_mtf_tpu.ops.attention import (
     causal_attention,
 )
 
-# VMEM working-set budget for the fused kernels (bytes). The backward's
-# budget charges the [block, s_pad] fp32 score tile twice — Mosaic's
-# elementwise fusion keeps p/dp inside the dot operand reads rather than
-# materializing three live copies (measured: block 640 at s_pad 1280,
-# 12 MB by the 2-tile model, compiles and beats the 512-block layout the
-# 3-tile model forced, which padded every operand 1280 -> 1536).
+# VMEM working-set budget for the fused kernels (bytes), charging THREE
+# [block, s_pad] fp32 score-class tiles (scores + exp'd weights + one
+# fusion temporary — a 2-tile charge let the S=2560 forward pick block
+# 512, which Mosaic measured at 17.02 MB stack and refused). Calibrated
+# so the proven dalle_coco layout survives: at s_pad 1280 the 3-tile
+# model still yields block 640 (12.1 MB backward), while S=2560 drops to
+# block 256 with NO row padding (the 11 MB/2-tile model of the first cut
+# instead padded 1280 -> 1536, +8 ms/step — see BENCH.md r4 study).
 _FUSED_VMEM_BUDGET = 13 << 20
 
 
@@ -90,7 +92,7 @@ def _fused_block(s_pad: int, d: int, itemsize: int, bwd: bool) -> int:
     if even a 128 block overflows the budget (-> caller falls back to the
     per-call family)."""
     operands = (7 if bwd else 4) * s_pad * d * itemsize
-    score_bufs = 2
+    score_bufs = 3
     avail = _FUSED_VMEM_BUDGET - operands
     if avail <= 0:
         return 0
@@ -101,9 +103,22 @@ def _fused_block(s_pad: int, d: int, itemsize: int, bwd: bool) -> int:
 def _packed_layout(s: int, itemsize: int, bwd: bool, d: int):
     """(block, s_pad, n_blk) for the fused kernels: the per-call wedge's
     tuned/default cap, further clamped by the fused VMEM model. Returns
-    (0, s_pad, 0) when the fused kernel cannot fit."""
+    (0, s_pad, 0) when the fused kernel cannot fit.
+
+    An autotune-table entry ``{"packed": {"<s128>,<itemsize>": {"fwd": b,
+    "bwd": b}}}`` overrides BOTH the wedge cap and the VMEM clamp — the
+    autotuner only records candidates that compiled and ran on the
+    tuning chip, which is strictly better evidence than the analytic
+    model (the model exists to pick safe defaults untuned)."""
     from dalle_mtf_tpu.ops.attention import _wedge_layout  # noqa: PLC0415
 
+    s128 = _round_up(s, 128)
+    tuned = _tune_table().get("packed", {}).get(f"{s128},{itemsize}")
+    if tuned:
+        blk = _round_up(int(tuned["bwd" if bwd else "fwd"]), 128)
+        n = -(-s128 // blk)
+        blk = _round_up(-(-s128 // n), 128)
+        return blk, blk * n, n
     block, s_pad, n = _wedge_layout(s, itemsize)
     cap = _fused_block(s_pad, d, itemsize, bwd)
     if cap == 0:

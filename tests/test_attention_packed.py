@@ -158,12 +158,37 @@ class TestDispatch:
         assert not packed_kernel_eligible(1280, 768, 12, 2)
 
     def test_bench_shape_layout_unpadded(self):
-        # the dalle_coco hot path must not pad (a 13 MB VMEM model once
+        # the dalle_coco hot path must not pad (an 11 MB VMEM model once
         # forced block 512 -> s_pad 1536: +8 ms/step of pads, BENCH.md r4)
         block, s_pad, n = _packed_layout(1280, 2, True, 128)
         assert (block, s_pad, n) == (640, 1280, 2)
         block, s_pad, n = _packed_layout(1280, 2, False, 128)
         assert (block, s_pad, n) == (640, 1280, 2)
+
+    def test_12b_shape_layout_unpadded_and_vmem_safe(self):
+        # dalle_12B's S=2560: a 2-tile VMEM charge picked block 512 whose
+        # forward Mosaic-measured at 17.02 MB stack (compile OOM). The
+        # 3-tile model must stay at a no-padding block.
+        for bwd in (False, True):
+            block, s_pad, n = _packed_layout(2560, 2, bwd, 128)
+            assert s_pad == 2560, (block, s_pad, n)
+            assert block * 3 * 4 * s_pad + (7 if bwd else 4) * s_pad * 256 \
+                <= 14 << 20
+
+    def test_tune_table_overrides_layout(self):
+        from dalle_mtf_tpu.ops import attention as attn
+
+        try:
+            attn.set_tune_table(
+                {"packed": {"1280,2": {"fwd": 256, "bwd": 384}}})
+            assert _packed_layout(1280, 2, False, 128)[0] == 256
+            # 384 does not divide 1280 evenly in 128-multiples: n=4 ->
+            # block renormalizes to 384 with s_pad 1536? ceil(1280/384)=4,
+            # block=round_up(320,128)=384, s_pad=1536
+            blk, s_pad, n = _packed_layout(1280, 2, True, 128)
+            assert (blk, s_pad, n) == (384, 1536, 4)
+        finally:
+            attn.set_tune_table(None)
 
     def test_fallback_matches_reference_off_tpu(self):
         # no interpret + CPU backend -> unpack/defer path, still correct
