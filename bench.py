@@ -33,6 +33,9 @@ BASELINE_TOKENS_PER_SEC_CHIP = 24_500.0
 # 22 is the measured sweet spot under packed attention + dots_and_attn
 # (r4 sweep: 16: 91.4k, 18: 93.9k, 20: 94.6k, 22: 94.9k, 24: 89.5k —
 # BENCH.md); the r3 sweet spot was 18 under dots_saveable.
+# scan_unroll=n_layers (straight-line layers, no residual-stacking DUS)
+# is the r4b measured winner under packed+dots_and_attn: 102.4k vs 95.0k
+# rolled (BENCH.md unroll study; partial unroll LOSES — keep 1 or full).
 import os  # noqa: E402
 
 PER_CHIP_BATCH = int(os.environ.get("BENCH_BATCH", 22))
@@ -42,9 +45,18 @@ XENT_CHUNKS = int(os.environ.get("BENCH_XENT_CHUNKS", "8"))
 LN_DTYPE = os.environ.get("BENCH_LN_DTYPE", "float32")
 LN_IMPL = os.environ.get("BENCH_LN_IMPL", "xla")
 ATTN_PACKED = bool(int(os.environ.get("BENCH_ATTN_PACKED", "1")))
-SCAN_UNROLL = int(os.environ.get("BENCH_SCAN_UNROLL", "1"))
+SCAN_UNROLL = int(os.environ.get("BENCH_SCAN_UNROLL", "12"))
 WARMUP_STEPS = 3
 BENCH_STEPS = 10
+
+# default to the committed profile-guided autotune table (chip-measured
+# attention block sizes, runs/attn_tune.json) — the production config path
+# (`attn_tune` key) loads the same file; DALLE_TPU_ATTN_TUNE= overrides/
+# disables. r4b measured: 103.2k with the table vs 102.4k built-ins.
+_tune = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "runs", "attn_tune.json")
+if "DALLE_TPU_ATTN_TUNE" not in os.environ and os.path.exists(_tune):
+    os.environ["DALLE_TPU_ATTN_TUNE"] = _tune
 
 
 def main():

@@ -114,7 +114,12 @@ class DalleConfig:
     # layer-scan unrolling: 1 = one compiled block (fast compile, scan
     # carries stack saved residuals via dynamic-update-slice); n_layers =
     # straight-line layers (XLA addresses each layer's residuals directly —
-    # profiled 56 ms/step of DUS copies at dalle_coco scale go away)
+    # profiled 56 ms/step of DUS copies at dalle_coco scale go away).
+    # Config value "full" maps to n_layers. Measured (BENCH.md unroll
+    # study): full unroll wins under packed+dots_and_attn (102.4k vs
+    # 95.0k tok/s/chip at dalle_coco scale); PARTIAL unroll loses badly
+    # (78.0k at unroll=4 — keeps the DUS stacking but defeats the rolled
+    # scan's software pipelining), so use 1 or full, nothing between.
     scan_unroll: int = 1
     # pipeline parallelism: a ``layers:pipe`` layout rule names the mesh
     # axis the stacked layer dim shards over; the block stack then runs as
@@ -204,7 +209,15 @@ class DalleConfig:
             vocab_axis=rules.get(VOCAB),
             pipe_axis=rules.get(LAYERS),
             pipeline_microbatches=params.get("pipeline_microbatches"),
-            scan_unroll=int(params.get("scan_unroll") or 1),
+            # "full" = n_layers: straight-line layers, no residual-stacking
+            # DUS copies — the measured winner at dalle_coco scale under
+            # packed attention (BENCH.md unroll study: 102.4k vs 95.0k
+            # rolled; partial unroll loses, so use 1 or "full")
+            scan_unroll=(
+                params["n_layers"]
+                if params.get("scan_unroll") == "full"
+                else int(params.get("scan_unroll") or 1)
+            ),
             n_embd=params["n_embd"],
             text_vocab_size=params["text_vocab_size"],
             image_vocab_size=params["image_vocab_size"],

@@ -30,3 +30,8 @@ DALLE_TPU_ATTN_TUNE=runs/attn_tune.json python bench.py
 #    out/lse saves and no transposed layouts)
 BENCH_SCAN_UNROLL=12 python bench.py
 BENCH_SCAN_UNROLL=4 python bench.py
+
+# 7. profile capture at the final defaults -> exclusive-time decomposition
+#    (tools/bucket_trace.py) for the next-lever analysis
+BENCH_PROFILE=/tmp/bench_prof_r4b python bench.py
+python tools/dump_bench_hlo.py || true   # writes /tmp/bench_step_hlo.txt

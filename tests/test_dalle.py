@@ -204,3 +204,42 @@ def test_ln_dtype_activation_matches_f32():
     ).loss(params, tokens, train=False)[0]
     assert np.isfinite(float(l_bf_act))
     assert abs(float(l_bf_act) - float(l_bf)) < 0.05 * abs(float(l_bf))
+
+
+def test_scan_unroll_full_matches_rolled():
+    """scan_unroll="full" (→ n_layers, straight-line layers) is a pure
+    scheduling change: loss and grads must match the rolled scan (up to
+    f32 reassociation in the differently-fused backward).
+    The BENCH.md unroll study measured it +7.8% on v5e under packed
+    attention; this pins the numerics side of that default."""
+    from dalle_mtf_tpu.utils.config import Config
+
+    base = dict(
+        n_embd=64, text_vocab_size=50, image_vocab_size=20,
+        text_seq_len=8, image_seq_len=16, n_layers=2, n_heads=2,
+        recompute_grad=True, remat_policy="dots_and_attn",
+    )
+    # config-string "full" maps to n_layers
+    params_map = Config.from_mapping(
+        {**base, "scan_unroll": "full", "layout": None}
+    )
+    assert DalleConfig.from_params(params_map, 16).scan_unroll == 2
+
+    tokens = _tokens(jax.random.PRNGKey(1))
+    p = DALLE(DalleConfig(**base)).init(jax.random.PRNGKey(0))
+
+    def run(unroll):
+        cfg = DalleConfig(**base, scan_unroll=unroll)
+        loss, g = jax.value_and_grad(
+            lambda q: DALLE(cfg).loss(q, tokens, train=True)[0]
+        )(p)
+        return loss, g
+
+    l1, g1 = run(1)
+    l2, g2 = run(2)
+    # same math, different schedule: XLA fuses the straight-line backward
+    # differently, so association (not semantics) can shift in f32
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

@@ -2,6 +2,10 @@
 mapping). Writes /tmp/bench_step_hlo.txt."""
 
 import functools
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -12,12 +16,18 @@ from dalle_mtf_tpu.parallel.mesh import build_mesh
 from dalle_mtf_tpu.train.optim import get_optimizer
 from dalle_mtf_tpu.utils.config import Config
 
-PER_CHIP_BATCH = 18
+# mirror bench.py's env-driven knobs so the HLO joins the trace 1:1
+PER_CHIP_BATCH = int(os.environ.get("BENCH_BATCH", 22))
 
 cfg = DalleConfig(
     n_embd=1024, text_vocab_size=50258, image_vocab_size=512,
     text_seq_len=256, image_seq_len=1024, n_layers=12, n_heads=8,
-    bf_16=True, recompute_grad=True, remat_policy="dots_saveable", attn_packed=True,
+    bf_16=True, recompute_grad=True,
+    remat_policy=os.environ.get("BENCH_REMAT_POLICY", "dots_and_attn"),
+    ln_dtype=os.environ.get("BENCH_LN_DTYPE", "float32"),
+    ln_impl=os.environ.get("BENCH_LN_IMPL", "xla"),
+    attn_packed=bool(int(os.environ.get("BENCH_ATTN_PACKED", "1"))),
+    scan_unroll=int(os.environ.get("BENCH_SCAN_UNROLL", "12")),
 )
 model = DALLE(cfg)
 n_chips = jax.device_count()
