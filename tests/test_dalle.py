@@ -243,3 +243,44 @@ def test_scan_unroll_full_matches_rolled():
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_head_matmul_bias_vjp_matches_autodiff():
+    """_head_matmul_bias (fused dw+db backward via the ones-column trick)
+    must match plain autodiff of einsum + bias add: forward bit-identical,
+    grads equal up to f32 reassociation (db is f32-accumulated in the
+    fused form; the plain form reduces in bf16 under a bf16 cotangent)."""
+    from dalle_mtf_tpu.models.dalle import _head_matmul_bias
+
+    key = jax.random.PRNGKey(3)
+    kx, kw, kb, kd = jax.random.split(key, 4)
+    for dtype in (jnp.float32, jnp.bfloat16):
+        x = jax.random.normal(kx, (2, 6, 16), dtype)
+        w = jax.random.normal(kw, (16, 33), dtype)
+        b = jax.random.normal(kb, (33,), jnp.float32)
+        dy = jax.random.normal(kd, (2, 6, 33), dtype)
+
+        def plain(x, w, b):
+            return jnp.einsum("bse,ev->bsv", x, w) + b.astype(x.dtype)
+
+        y1, vjp1 = jax.vjp(plain, x, w, b)
+        y2, vjp2 = jax.vjp(_head_matmul_bias, x, w, b)
+        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+        g1, g2 = vjp1(dy), vjp2(dy)
+        # db differs most under bf16: the PLAIN path reduces the bf16
+        # cotangent with bf16 accumulation while the fused form
+        # accumulates in f32 (strictly more accurate), so the tolerance
+        # covers the plain path's own rounding
+        for a, c in zip(g1, g2):
+            assert a.dtype == c.dtype
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(c, np.float32),
+                rtol=6e-2 if dtype == jnp.bfloat16 else 1e-6,
+                atol=1e-6,
+            )
+        if dtype == jnp.bfloat16:
+            # the fused db must be the MORE accurate one vs f32 ground truth
+            ref = np.asarray(dy, np.float32).sum((0, 1))
+            err_plain = np.abs(np.asarray(g1[2], np.float32) - ref).max()
+            err_fused = np.abs(np.asarray(g2[2], np.float32) - ref).max()
+            assert err_fused <= err_plain + 1e-6
