@@ -121,6 +121,41 @@ def main():
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
+    # optional compiled K-step device loop (BENCH_DEVICE_LOOP=K): what the
+    # real Trainer runs in production (train_multi, config "iterations") —
+    # amortizes the per-step host dispatch the per-step form pays
+    device_loop = int(os.environ.get("BENCH_DEVICE_LOOP", "0"))
+    if device_loop:
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def train_k(params, opt_state, tokens, rng):
+            def body(carry, i):
+                p, o = carry
+                def loss_fn(p_):
+                    loss, _ = model.loss(p_, tokens, jax.random.fold_in(rng, i),
+                                         train=True, fused_xent=FUSED_XENT)
+                    return loss
+                loss, grads = jax.value_and_grad(loss_fn)(p)
+                updates, o = opt.update(grads, o, p)
+                p = optax.apply_updates(p, updates)
+                return (p, o), loss
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), jnp.arange(device_loop)
+            )
+            return params, opt_state, losses[-1]
+
+        rng = jax.random.PRNGKey(2)
+        params, opt_state, loss = train_k(params, opt_state, tokens, rng)
+        float(loss)
+        t0 = time.perf_counter()
+        for i in range(BENCH_STEPS):
+            params, opt_state, loss = train_k(
+                params, opt_state, tokens, jax.random.fold_in(rng, 100 + i)
+            )
+        float(loss)
+        dt = time.perf_counter() - t0
+        _report(cfg, batch * seq * BENCH_STEPS * device_loop / dt / n_chips)
+        return
+
     rng = jax.random.PRNGKey(2)
     for i in range(WARMUP_STEPS):
         params, opt_state, loss = train_step(
@@ -148,14 +183,15 @@ def main():
     float(loss)
     dt = time.perf_counter() - t0
 
-    tokens_per_sec = batch * seq * BENCH_STEPS / dt
-    tokens_per_sec_chip = tokens_per_sec / n_chips
+    _report(cfg, batch * seq * BENCH_STEPS / dt / n_chips)
 
+
+def _report(cfg, tokens_per_sec_chip):
     # Absolute MFU so the headline stands without the mtf-baseline estimate:
     # analytic train FLOPs/token = 6*N_matmul + 12*L*E*S (PaLM app. B
     # convention — fwd+bwd on the weight matmuls plus full-S attention;
     # recompute is NOT counted, so remat makes this a lower bound).
-    e, L, v, s = cfg.n_embd, cfg.n_layers, cfg.total_tokens, seq
+    e, L, v, s = cfg.n_embd, cfg.n_layers, cfg.total_tokens, cfg.total_seq_len
     n_matmul = L * 12 * e * e + e * v
     flops_per_token = 6 * n_matmul + 12 * L * e * s
     peak_tflops = float(os.environ.get("BENCH_PEAK_TFLOPS", 197.0))  # v5e bf16
