@@ -66,23 +66,42 @@ def main():
     from dalle_mtf_tpu.utils.config import Config
 
     n_chips = jax.device_count()
-    cfg = DalleConfig(
-        n_embd=1024,
-        text_vocab_size=50258,
-        image_vocab_size=512,
-        text_seq_len=256,
-        image_seq_len=1024,
-        n_layers=12,
-        n_heads=8,
-        bf_16=True,
-        recompute_grad=True,  # dalle_coco sets it; needed for batch 16/chip
-        remat_policy=REMAT_POLICY,
-        xent_chunks=XENT_CHUNKS,
-        ln_dtype=LN_DTYPE,
-        ln_impl=LN_IMPL,
-        attn_packed=ATTN_PACKED,
-        scan_unroll=SCAN_UNROLL,
-    )
+    if bool(int(os.environ.get("BENCH_SMOKE", "0"))):
+        # tiny-config smoke arm: lets the CPU test suite execute BOTH bench
+        # paths (per-step and device loop) end to end — the real config only
+        # fits/compiles on the TPU. The number it prints is meaningless;
+        # only "main() runs and emits valid JSON" is asserted.
+        cfg = DalleConfig(
+            n_embd=64,
+            text_vocab_size=64,
+            image_vocab_size=32,
+            text_seq_len=16,
+            image_seq_len=16,
+            n_layers=2,
+            n_heads=2,
+            bf_16=False,
+            recompute_grad=False,
+            xent_chunks=1,
+            scan_unroll=min(SCAN_UNROLL, 2),
+        )
+    else:
+        cfg = DalleConfig(
+            n_embd=1024,
+            text_vocab_size=50258,
+            image_vocab_size=512,
+            text_seq_len=256,
+            image_seq_len=1024,
+            n_layers=12,
+            n_heads=8,
+            bf_16=True,
+            recompute_grad=True,  # dalle_coco sets it; needed for b=16/chip
+            remat_policy=REMAT_POLICY,
+            xent_chunks=XENT_CHUNKS,
+            ln_dtype=LN_DTYPE,
+            ln_impl=LN_IMPL,
+            attn_packed=ATTN_PACKED,
+            scan_unroll=SCAN_UNROLL,
+        )
     model = DALLE(cfg)
     batch = PER_CHIP_BATCH * n_chips
     seq = cfg.total_seq_len
@@ -121,10 +140,16 @@ def main():
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    # optional compiled K-step device loop (BENCH_DEVICE_LOOP=K): what the
-    # real Trainer runs in production (train_multi, config "iterations") —
-    # amortizes the per-step host dispatch the per-step form pays
-    device_loop = int(os.environ.get("BENCH_DEVICE_LOOP", "0"))
+    # compiled K-step device loop (BENCH_DEVICE_LOOP=K, DEFAULT K=100):
+    # what the real Trainer runs in production (train_multi, config
+    # "iterations"; dalle_coco ships iterations: 1000) — amortizes the
+    # ~13 ms/call host dispatch the per-step form pays (BENCH.md r4c:
+    # per-step 102.7k vs K=100 105.5k same session/build). Set
+    # BENCH_DEVICE_LOOP=0 for the per-step form; BENCH_PROFILE forces
+    # per-step so the 2-step trace keeps one-step granularity.
+    device_loop = int(os.environ.get("BENCH_DEVICE_LOOP", "100"))
+    if os.environ.get("BENCH_PROFILE"):
+        device_loop = 0
     if device_loop:
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def train_k(params, opt_state, tokens, rng):
@@ -143,17 +168,21 @@ def main():
             )
             return params, opt_state, losses[-1]
 
+        # one warmup call (compile + state settle), then 2 timed calls:
+        # 2*K steps is plenty of signal (noise across 200 steps is far
+        # below session variance) and keeps total device time ~K*0.8 s
+        outer = int(os.environ.get("BENCH_DEVICE_LOOP_CALLS", "2"))
         rng = jax.random.PRNGKey(2)
         params, opt_state, loss = train_k(params, opt_state, tokens, rng)
         float(loss)
         t0 = time.perf_counter()
-        for i in range(BENCH_STEPS):
+        for i in range(outer):
             params, opt_state, loss = train_k(
                 params, opt_state, tokens, jax.random.fold_in(rng, 100 + i)
             )
         float(loss)
         dt = time.perf_counter() - t0
-        _report(cfg, batch * seq * BENCH_STEPS * device_loop / dt / n_chips)
+        _report(cfg, batch * seq * outer * device_loop / dt / n_chips)
         return
 
     rng = jax.random.PRNGKey(2)
