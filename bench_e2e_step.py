@@ -26,6 +26,10 @@ import numpy as np
 # attention regime end-to-end. BENCH_E2E_BATCH overrides per-chip batch.
 CONFIG = os.environ.get("BENCH_E2E_CONFIG", "dalle_coco")
 PER_CHIP_BATCH = int(os.environ.get("BENCH_E2E_BATCH", 16))
+# BENCH_E2E_ITERATIONS=K times Trainer.train_multi (the compiled K-step
+# device loop production runs; Trainer caps chunks at 32) instead of
+# per-step train_step dispatch. 0 = per-step (default).
+ITERATIONS = int(os.environ.get("BENCH_E2E_ITERATIONS", "0"))
 WARMUP_STEPS = 3
 BENCH_STEPS = 10
 
@@ -69,22 +73,39 @@ def main():
         )
         state = trainer.init_state(jax.random.PRNGKey(0))
         key = jax.random.PRNGKey(1)
-        for i in range(WARMUP_STEPS):
-            state, metrics = trainer.train_step(
-                state, batch_data, jax.random.fold_in(key, i)
-            )
-        float(jax.device_get(metrics["loss"]))  # force (block_until_ready
-        # does not synchronize on tunneled runtimes)
+        if ITERATIONS:
+            # production form: one compiled K-step device loop per call
+            # (train_multi — what run() dispatches with config "iterations")
+            batches = [batch_data] * ITERATIONS
+            state, metrics = trainer.train_multi(state, batches, key)
+            float(jax.device_get(metrics["loss"]))
+            calls = 2
+            t0 = time.perf_counter()
+            for i in range(calls):
+                state, metrics = trainer.train_multi(
+                    state, batches, jax.random.fold_in(key, 100 + i)
+                )
+            float(jax.device_get(metrics["loss"]))
+            dt = time.perf_counter() - t0
+            steps_timed = calls * ITERATIONS
+        else:
+            for i in range(WARMUP_STEPS):
+                state, metrics = trainer.train_step(
+                    state, batch_data, jax.random.fold_in(key, i)
+                )
+            float(jax.device_get(metrics["loss"]))  # force (block_until_ready
+            # does not synchronize on tunneled runtimes)
 
-        t0 = time.perf_counter()
-        for i in range(BENCH_STEPS):
-            state, metrics = trainer.train_step(
-                state, batch_data, jax.random.fold_in(key, 100 + i)
-            )
-        float(jax.device_get(metrics["loss"]))
-        dt = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            for i in range(BENCH_STEPS):
+                state, metrics = trainer.train_step(
+                    state, batch_data, jax.random.fold_in(key, 100 + i)
+                )
+            float(jax.device_get(metrics["loss"]))
+            dt = time.perf_counter() - t0
+            steps_timed = BENCH_STEPS
 
-    tokens_per_sec_chip = batch * seq * BENCH_STEPS / dt / n_chips
+    tokens_per_sec_chip = batch * seq * steps_timed / dt / n_chips
     print(
         json.dumps(
             {

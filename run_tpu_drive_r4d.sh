@@ -25,4 +25,8 @@ for b in 20 24; do
   BENCH_BATCH=$b python bench.py 2>&1 | tail -1 | sed "s/^/b=$b /" | tee -a "$LOG"
 done
 
+note "4. REAL trainer with the production device loop (train_multi, K=32 cap)"
+BENCH_E2E_BATCH=18 BENCH_E2E_ITERATIONS=32 python bench_e2e_step.py 2>&1 \
+  | tail -1 | tee -a "$LOG"
+
 note "r4d drive done $(date -u +%FT%TZ)"
