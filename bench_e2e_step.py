@@ -18,7 +18,6 @@ import tempfile
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 # BENCH_E2E_CONFIG selects any dalle config (default dalle_coco); e.g.
@@ -30,6 +29,9 @@ PER_CHIP_BATCH = int(os.environ.get("BENCH_E2E_BATCH", 16))
 # device loop production runs; Trainer caps chunks at 32) instead of
 # per-step train_step dispatch. 0 = per-step (default).
 ITERATIONS = int(os.environ.get("BENCH_E2E_ITERATIONS", "0"))
+# BENCH_E2E_TOKENS=1: pre-tokenized dataset mode (dataset.tokens: true) —
+# batches carry VAE token ids, no images, no per-step frozen-VAE forward.
+TOKENS_MODE = bool(int(os.environ.get("BENCH_E2E_TOKENS", "0")))
 WARMUP_STEPS = 3
 BENCH_STEPS = 10
 
@@ -49,22 +51,38 @@ def main():
     params["layout"] = "batch_dim:data"
 
     mesh = build_mesh(params["mesh_shape"])
-    vae_cfg = VAEConfig.from_params(params["vae_params"])
-    vae_params = jax.jit(DiscreteVAE(vae_cfg).init)(jax.random.PRNGKey(7))
+    if TOKENS_MODE:
+        vae_params = None  # loss never touches the frozen VAE in tokens mode
+    else:
+        vae_cfg = VAEConfig.from_params(params["vae_params"])
+        vae_params = jax.jit(DiscreteVAE(vae_cfg).init)(jax.random.PRNGKey(7))
     dalle, _vae, init_fn, loss_fn, _ev, axes = make_dalle_task(params)
     seq = dalle.cfg.total_seq_len
 
     rng = np.random.RandomState(0)
     size = params["dataset"]["image_size"]
-    batch_data = {
-        "image": jnp.asarray(
-            rng.uniform(-1, 1, (batch, size, size, 3)).astype(np.float32)
-        ),
-        "caption": jnp.asarray(
-            rng.randint(0, params["text_vocab_size"], (batch, dalle.cfg.text_seq_len))
-            .astype(np.int32)
-        ),
-    }
+    # HOST numpy batches, exactly what the production data pipeline yields —
+    # the r4 version passed device-resident jnp arrays, which made the
+    # ITERATIONS mode's stage_batches np.asarray() pull them BACK to host
+    # (a D2H artifact production never pays) and understated train_multi
+    caption = rng.randint(
+        0, params["text_vocab_size"], (batch, dalle.cfg.text_seq_len)
+    ).astype(np.int32)
+    if TOKENS_MODE:
+        batch_data = {
+            "tokens": rng.randint(
+                0, dalle.cfg.image_vocab_size,
+                (batch, dalle.cfg.image_seq_len),
+            ).astype(np.int32),
+            "caption": caption,
+        }
+    else:
+        batch_data = {
+            "image": rng.uniform(-1, 1, (batch, size, size, 3)).astype(
+                np.float32
+            ),
+            "caption": caption,
+        }
 
     with tempfile.TemporaryDirectory() as tmp:
         trainer = Trainer(
@@ -74,17 +92,22 @@ def main():
         state = trainer.init_state(jax.random.PRNGKey(0))
         key = jax.random.PRNGKey(1)
         if ITERATIONS:
-            # production form: one compiled K-step device loop per call
-            # (train_multi — what run() dispatches with config "iterations")
+            # production form: compiled K-step device loops with one-chunk-
+            # ahead staging, exactly the run() loop's double buffering —
+            # chunk i+1's host stack + H2D transfer overlap chunk i's compute
             batches = [batch_data] * ITERATIONS
             state, metrics = trainer.train_multi(state, batches, key)
             float(jax.device_get(metrics["loss"]))
-            calls = 2
+            calls = int(os.environ.get("BENCH_E2E_CALLS", "3"))
+            staged = trainer.stage_batches(batches)
             t0 = time.perf_counter()
             for i in range(calls):
                 state, metrics = trainer.train_multi(
-                    state, batches, jax.random.fold_in(key, 100 + i)
+                    state, rng_base=jax.random.fold_in(key, 100 + i),
+                    staged=staged,
                 )
+                if i < calls - 1:
+                    staged = trainer.stage_batches(batches)
             float(jax.device_get(metrics["loss"]))
             dt = time.perf_counter() - t0
             steps_timed = calls * ITERATIONS
@@ -106,10 +129,11 @@ def main():
             steps_timed = BENCH_STEPS
 
     tokens_per_sec_chip = batch * seq * steps_timed / dt / n_chips
+    mode = "_tokens" if TOKENS_MODE else ""
     print(
         json.dumps(
             {
-                "metric": f"{CONFIG}_e2e_trainer_step_tokens_per_sec_per_chip",
+                "metric": f"{CONFIG}{mode}_e2e_trainer_step_tokens_per_sec_per_chip",
                 "value": round(tokens_per_sec_chip, 1),
                 "unit": "tokens/sec/chip",
                 "vs_baseline": round(tokens_per_sec_chip / 24_500.0, 3),

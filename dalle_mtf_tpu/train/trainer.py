@@ -320,10 +320,17 @@ class Trainer:
         with self.mesh:
             return self._train_step(state, self.frozen_params, batch, rng)
 
-    def _put_batches(self, batches):
-        """Stack K host batches to [K, B, ...] and place them with the
-        microstep dim replicated, batch dim sharded (per-host shards on
-        multi-host, same as _put_batch)."""
+    def stage_batches(self, batches):
+        """Stack K host batches to [K, B, ...] and start their transfer to
+        the mesh (microstep dim replicated, batch dim sharded; per-host
+        shards on multi-host, same as _put_batch).
+
+        This is deliberately SEPARATE from dispatch: ``run()`` stages chunk
+        i+1 while chunk i computes (the double-buffering TPUEstimator's
+        infeed thread provided) — the r4d drive measured the unoverlapped
+        form at 37.6k vs 97.0k tok/s/chip on image batches, because the
+        whole [K, B, 256, 256, 3] super-batch otherwise lands on the
+        critical path between chunks."""
         stacked = jax.tree_util.tree_map(
             lambda *xs: np.stack([np.asarray(x) for x in xs]), *batches
         )
@@ -338,8 +345,12 @@ class Trainer:
             stacked,
         )
 
-    def train_multi(self, state, batches, rng_base):
-        """Run ``len(batches)`` steps in one compiled device loop.
+    def train_multi(self, state, batches=None, rng_base=None, staged=None):
+        """Run a chunk of steps in one compiled device loop.
+
+        Pass raw host ``batches`` (staged here, simple form) or an already
+        ``staged`` super-batch from :meth:`stage_batches` (what ``run()``
+        does, so staging overlaps the previous chunk's compute).
 
         ``rng_base`` is the same base key ``run()`` folds per step — the
         fold happens inside the scan body by the carried step counter, so a
@@ -347,7 +358,8 @@ class Trainer:
         """
         if self._train_multi_fn is None:
             self._train_multi_fn = self._build_train_multi()
-        staged = self._put_batches(batches)
+        if staged is None:
+            staged = self.stage_batches(batches)
         with self.mesh:
             return self._train_multi_fn(
                 state, self.frozen_params, staged, rng_base
@@ -458,34 +470,60 @@ class Trainer:
         # round-trip (train_dalle.py:62-66). Async dispatch already keeps
         # the device busy; chunks > 1 additionally take the per-step host
         # dispatch + next(data_iter) off the critical path via train_multi.
-        # Capped so the staged [K, B, ...] super-batch stays modest.
+        # Capped so the two in-flight staged [K, B, ...] super-batches stay
+        # modest (double-buffering keeps the current + next chunk resident).
         iterations = min(int(p.get("iterations") or 1), 32)
-        t0 = time.time()
-        window_start_step = start
-        step = start
-        first = True
-        while step < train_steps:
+
+        def _chunk_lengths():
             # k is FIXED at `iterations` (or 1): every distinct chunk length
             # is a separate XLA compile of the K-step scanned program —
             # minutes per variant at scale — so instead of shrinking chunks
             # to hit log/ckpt boundaries exactly, logging and checkpointing
             # land on the nearest chunk boundary (only the final partial
             # chunk falls back to single steps, which reuse the first-step
-            # executable).
-            k = min(iterations, train_steps - step)
-            if k < iterations:
-                k = 1
-            if first:
-                k = 1  # surface the first step's metrics immediately
+            # executable). The first chunk is a single step so its metrics
+            # surface immediately.
+            s = start
+            first = True
+            while s < train_steps:
+                k = min(iterations, train_steps - s)
+                if k < iterations:
+                    k = 1
+                if first:
+                    k = 1
+                    first = False
+                yield k
+                s += k
+
+        def _stage(k):
+            # k>1: host-stack + start the H2D transfer of the super-batch;
+            # k==1: raw host batch (train_step stages it itself, cheap)
             if k > 1:
-                batches = [next(data_iter) for _ in range(k)]
-                state, metrics = self.train_multi(state, batches, step_rng)
+                return self.stage_batches([next(data_iter) for _ in range(k)])
+            return next(data_iter)
+
+        t0 = time.time()
+        window_start_step = start
+        step = start
+        first = True
+        chunk_iter = _chunk_lengths()
+        k = next(chunk_iter, None)
+        staged = _stage(k) if k else None
+        while k:
+            k_next = next(chunk_iter, None)
+            if k > 1:
+                state, metrics = self.train_multi(
+                    state, rng_base=step_rng, staged=staged
+                )
             else:
                 # async dispatch: fetching metrics only happens on log
                 # steps, so the device runs ahead of the host
                 state, metrics = self.train_step(
-                    state, next(data_iter), jax.random.fold_in(step_rng, step)
+                    state, staged, jax.random.fold_in(step_rng, step)
                 )
+            # stage the NEXT chunk before any metric fetch blocks the host:
+            # its host stacking + H2D transfer overlap this chunk's compute
+            staged = _stage(k_next) if k_next else None
             step += k
             if (step // log_every) > ((step - k) // log_every) or first:
                 first = False
@@ -511,20 +549,24 @@ class Trainer:
                             state, next(eval_data_iter),
                             jax.random.fold_in(eval_rng, i),
                         )
-                        for k, v in em.items():
-                            sums.setdefault(k, []).append(
+                        for mk, v in em.items():
+                            sums.setdefault(mk, []).append(
                                 float(jax.device_get(v))
                             )
                     means = {
-                        f"eval_{k}": float(np.mean(v)) for k, v in sums.items()
+                        f"eval_{mk}": float(np.mean(v))
+                        for mk, v in sums.items()
                     }
                     self.writer.scalars(step, means)
                     logger.info(
                         "step %d %s", step,
-                        " ".join(f"{k} {v:.5f}" for k, v in sorted(means.items())),
+                        " ".join(
+                            f"{mk} {v:.5f}" for mk, v in sorted(means.items())
+                        ),
                     )
                 if summary_fn is not None:
                     summary_fn(self, state, step)
+            k = k_next
         self.wait_for_checkpoints()
         return state
 
