@@ -151,3 +151,70 @@ def create_paired_dataset(
     total_shards = shard + (1 if written else 0)
     print(f"wrote {len(items)} examples into {total_shards} shard(s) in {out_dir}")
     return total_shards
+
+
+def _cli():
+    """``python -m dalle_mtf_tpu.data.create_tfrecords <cmd> ...``.
+
+    Replaces the reference's hardwired ``__main__`` (create_tfrecords.py:
+    181-184 — a fixed COCO jsonl path) with three subcommands:
+      paired  jsonl [{caption, image_path}] -> image+caption tfrecords
+      random  fabricate captions over an image glob (smoke datasets)
+      encode  image+caption tfrecords -> {tokens, caption} tfrecords via a
+              trained VAE (--encode-with <vae_config>) — the offline pass
+              behind ``dataset.tokens: true`` (see docs/data.md)
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(prog="create_tfrecords", description=_cli.__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pp = sub.add_parser("paired", help="jsonl -> sharded image tfrecords")
+    pp.add_argument("jsonl")
+    pp.add_argument("--name", required=True)
+    pp.add_argument("--out", required=True)
+    pp.add_argument("--examples-per-file", type=int, default=1000)
+    pp.add_argument("--reencode", action="store_true")
+
+    pr = sub.add_parser("random", help="fabricate captions over an image glob")
+    pr.add_argument("glob")
+    pr.add_argument("--out", required=True)
+
+    pe = sub.add_parser("encode", help="images -> VAE token tfrecords")
+    pe.add_argument("--input", required=True, help="image tfrecords glob")
+    pe.add_argument("--out", required=True)
+    pe.add_argument("--name", required=True)
+    pe.add_argument(
+        "--encode-with", required=True, metavar="VAE_CONFIG",
+        help="VAE config name/path; its model_path supplies the checkpoint",
+    )
+    pe.add_argument(
+        "--vae-checkpoint-path", default=None,
+        help="override the checkpoint dir (config vae_checkpoint_path analog)",
+    )
+    pe.add_argument("--batch-size", type=int, default=64)
+    pe.add_argument("--examples-per-file", type=int, default=10_000)
+
+    args = p.parse_args()
+    if args.cmd == "paired":
+        create_paired_dataset(
+            args.jsonl, args.name, args.out,
+            examples_per_file=args.examples_per_file, reencode=args.reencode,
+        )
+    elif args.cmd == "random":
+        create_random_dataset(args.glob, args.out)
+    else:
+        from dalle_mtf_tpu.data.encode_dataset import (  # noqa: PLC0415
+            encode_with_config,
+        )
+
+        encode_with_config(
+            args.input, args.out, args.name, args.encode_with,
+            vae_checkpoint_path=args.vae_checkpoint_path,
+            batch_size=args.batch_size,
+            examples_per_file=args.examples_per_file,
+        )
+
+
+if __name__ == "__main__":
+    _cli()

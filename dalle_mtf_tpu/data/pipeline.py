@@ -479,11 +479,15 @@ def dalle_input_fn(
     """(image, caption) batches for DALLE training (input_fns.py:106-120).
 
     ``skip_steps``: resume point — skip that many already-trained batches
-    without decoding them (exact; see _Pipeline._shuffled)."""
+    without decoding them (exact; see _Pipeline._shuffled).
+
+    Pre-tokenized mode (``dataset.tokens: true``): records carry
+    ``{tokens: int64 list, caption: int64 list}`` written by the offline
+    VAE-encode pass (data/encode_dataset.py) and batches are
+    ``{"tokens": i32[B, image_seq_len], "caption": i32[B, T]}`` — no jpeg
+    decode, no per-step VAE forward in the trainer."""
     ds = params["dataset"]
     path = ds["eval_path"] if eval else ds["train_path"]
-    size = ds["image_size"]
-    channels = params.get("n_channels") or 3
     shard = _resolve_shard(shard)
     batch = _host_batch(params["eval_batch_size" if eval else "train_batch_size"], shard)
     text_seq_len = params["text_seq_len"]
@@ -492,13 +496,35 @@ def dalle_input_fn(
         padding_id = 50257
     files = _shard_files(list_files(path), shard)
 
-    def parse(record: bytes) -> dict:
-        ex = parse_example(record)
+    def _caption(ex: dict) -> np.ndarray:
         caption = list(ex.get("caption", []))
         caption = (caption + [padding_id] * text_seq_len)[:text_seq_len]
+        return np.asarray(caption, np.int32)
+
+    if ds.get("tokens"):
+        def parse_tokens(record: bytes) -> dict:
+            ex = parse_example(record)
+            return {
+                "tokens": np.asarray(ex["tokens"], np.int32),
+                "caption": _caption(ex),
+            }
+
+        return _Pipeline(
+            files, read_tfrecord_file, parse_tokens, batch,
+            shuffle=not eval, repeat=repeat,
+            skip_samples=skip_steps * batch,
+            cycle_length=ds.get("cycle_length") or 4,
+            readahead_depth=ds.get("readahead_depth"),
+        )
+
+    size = ds["image_size"]
+    channels = params.get("n_channels") or 3
+
+    def parse(record: bytes) -> dict:
+        ex = parse_example(record)
         return {
             "image": decode_img(ex["image"][0], size, channels),
-            "caption": np.asarray(caption, np.int32),
+            "caption": _caption(ex),
         }
 
     return _Pipeline(

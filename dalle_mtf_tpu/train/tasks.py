@@ -115,8 +115,19 @@ def make_dalle_task(params: Mapping[str, Any], constrain=None):
     fused_xent = bool(params.get("fused_xent"))
 
     def tokens_of(frozen_vae, batch):
-        img_tokens = vae.encode_tokens(frozen_vae, batch["image"])
-        img_tokens = jax.lax.stop_gradient(img_tokens) + cfg.text_vocab_size
+        if "tokens" in batch:
+            # pre-tokenized dataset (data/encode_dataset.py: images were
+            # encoded through the frozen VAE ONCE, offline) — the per-step
+            # VAE forward the reference pays forever (model_fns.py:72-77)
+            # is skipped entirely. Token ids in records are raw codebook
+            # ids; the text-vocab offset applies here exactly as in the
+            # in-graph path, so both modes produce identical sequences.
+            img_tokens = batch["tokens"].astype(jnp.int32) + cfg.text_vocab_size
+        else:
+            img_tokens = vae.encode_tokens(frozen_vae, batch["image"])
+            img_tokens = (
+                jax.lax.stop_gradient(img_tokens) + cfg.text_vocab_size
+            )
         return jnp.concatenate(
             [batch["caption"].astype(jnp.int32), img_tokens], axis=1
         )

@@ -37,41 +37,18 @@ def parse_args():
 
 def load_vae_params(params, vae):
     """Restore the frozen stage-1 VAE weights (reference load_vae_model +
-    initialize_vae_weights, model_fns.py:11-52)."""
-    import orbax.checkpoint as ocp
+    initialize_vae_weights, model_fns.py:11-52; cross-model restore lives
+    in utils/restore.py)."""
+    from dalle_mtf_tpu.utils.restore import restore_vae_params
 
     vae_dir = params.get("vae_checkpoint_path") or params["vae_params"]["model_path"]
-    template = jax.eval_shape(vae.init, jax.random.PRNGKey(0))
-    mngr = ocp.CheckpointManager(
-        _ckpt_dir(vae_dir), options=ocp.CheckpointManagerOptions(create=False)
-    )
-    latest = mngr.latest_step()
-    if latest is None:
-        raise FileNotFoundError(
-            f"no VAE checkpoint found under {vae_dir} — train the VAE first "
-            f"(python train_vae.py --model {params['vae_model']})"
-        )
-    # cross-model restore: pull only the params subtree out of the VAE's
-    # TrainState checkpoint (the reference did this with
-    # tf.train.init_from_checkpoint over the "vae" scope, model_fns.py:11-32)
-    restored = mngr.restore(latest)
-    vae_params = restored["params"]
-    got = jax.tree_util.tree_structure(vae_params)
-    want = jax.tree_util.tree_structure(template)
-    if got != want:
-        raise ValueError(
-            f"VAE checkpoint at {vae_dir} doesn't match the vae_model config "
-            f"(param tree mismatch)"
-        )
-    logger.info("restored frozen VAE from %s @ step %d", vae_dir, latest)
-    return vae_params
+    return restore_vae_params(vae, vae_dir)
 
 
 def _ckpt_dir(model_dir: str) -> str:
-    import os
+    from dalle_mtf_tpu.utils.restore import _ckpt_dir as _impl
 
-    d = model_dir if "://" in model_dir else os.path.abspath(os.path.expanduser(model_dir))
-    return os.path.join(d, "checkpoints")
+    return _impl(model_dir)
 
 
 def main():
@@ -111,7 +88,15 @@ def main():
     dalle, vae, init_fn, loss_fn, eval_loss_fn, axes = make_dalle_task(
         params, constrain=constrain
     )
-    vae_params = load_vae_params(params, vae)
+    # pre-tokenized mode (dataset.tokens: true): records already carry VAE
+    # token ids (data/encode_dataset.py) so the training step never runs
+    # the frozen VAE — its weights are only needed when predict-every-
+    # checkpoint must decode sampled tokens back to pixels
+    tokens_mode = bool(params["dataset"].get("tokens"))
+    if tokens_mode and not params.get("predict_steps"):
+        vae_params = None
+    else:
+        vae_params = load_vae_params(params, vae)
 
     trainer = Trainer(
         params, init_fn, loss_fn, axes,
