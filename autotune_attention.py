@@ -126,14 +126,15 @@ def _time_packed_safe(s, b, h, d, dtype):
 
 def tune_packed(args, attn, table, measurements, dtype, itemsize):
     """Sweep the packed fused family's fwd x bwd block caps. Entries land
-    under table["packed"]["<s128>,<itemsize>"] = {"fwd": b, "bwd": b} and
-    override both the wedge cap and the VMEM clamp at runtime (the
-    candidate demonstrably compiled here)."""
+    under table["packed"]["<s128>,<itemsize>,<d>"] = {"fwd": b, "bwd": b}
+    and override both the wedge cap and the VMEM clamp at runtime (the
+    candidate demonstrably compiled here — but only at this head_dim,
+    hence d in the key; see ops/attention_packed.py::_packed_layout)."""
     from dalle_mtf_tpu.ops import attention_packed as ap_mod
 
     for s in args.s:
         s128 = -(-s // 128) * 128
-        key = f"{s128},{itemsize}"
+        key = f"{s128},{itemsize},{args.d}"
         if itemsize > 2 or s128 > attn.WHOLE_ROW_MAX_SEQ:
             print(f"S={s}: outside the packed fused regime; skipping")
             continue

@@ -80,7 +80,20 @@ def _main():
     from dalle_mtf_tpu.utils.config import Config
 
     n_chips = jax.device_count()
-    if bool(int(os.environ.get("BENCH_SMOKE", "0"))):
+    smoke = bool(int(os.environ.get("BENCH_SMOKE", "0")))
+    if not smoke:
+        # the same persistent XLA cache the train drivers use — without it
+        # every fresh bench process recompiles the K=100 device loop from
+        # scratch (minutes of XLA work; the r4d/r5a "cold run" stalls were
+        # exactly this), making the round-end capture a timeout coin flip.
+        # Skipped in the smoke arm: tests run main() in-process and must
+        # not mutate global jax config.
+        from dalle_mtf_tpu.utils.distributed import (
+            maybe_enable_compilation_cache,
+        )
+
+        maybe_enable_compilation_cache({})
+    if smoke:
         # tiny-config smoke arm: lets the CPU test suite execute BOTH bench
         # paths (per-step and device loop) end to end — the real config only
         # fits/compiles on the TPU. The number it prints is meaningless;

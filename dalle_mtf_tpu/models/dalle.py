@@ -740,16 +740,7 @@ class DALLE:
             )
             a = constrain(a, BATCH, SEQ, HEADS)
             a = checkpoint_name(self._attn_out_packed(p, a), "attn_proj")
-            a = self._dropout(r_res1, a, cfg.residual_dropout, train)
-            x = x + a
-            x = constrain(x, BATCH, SEQ, EMBED)
-
-            # --- mlp (4x expansion, relu — reference models.py:317-333)
-            m_in = self._layer_norm(x, p["ln2_g"], p["ln2_b"])
-            m = checkpoint_name(self._mlp(p, m_in), "mlp2")
-            m = self._dropout(r_res2, m, cfg.residual_dropout, train)
-            x = x + m
-            return constrain(x, BATCH, SEQ, EMBED)
+            return self._block_tail(p, x, a, r_res1, r_res2, train, constrain)
         q, k, v = (checkpoint_name(t, "qkv") for t in self._qkv(p, a_in))
         q, k, v = (constrain(t, BATCH, HEADS, SEQ, KV) for t in (q, k, v))
         if self._is_ring:
@@ -788,6 +779,14 @@ class DALLE:
             a = causal_attention(q, k, v, window=window)
         a = constrain(a, BATCH, HEADS, SEQ, KV)
         a = checkpoint_name(self._attn_out(p, a), "attn_proj")
+        return self._block_tail(p, x, a, r_res1, r_res2, train, constrain)
+
+    def _block_tail(self, p, x, a, r_res1, r_res2, train, constrain):
+        """Residual add + LN2 + MLP + dropouts — shared by every attention
+        arm (packed / unpacked / ring), so the tails can't diverge."""
+        cfg = self.cfg
+        from jax.ad_checkpoint import checkpoint_name  # noqa: PLC0415
+
         a = self._dropout(r_res1, a, cfg.residual_dropout, train)
         x = x + a
         x = constrain(x, BATCH, SEQ, EMBED)

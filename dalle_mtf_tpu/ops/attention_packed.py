@@ -105,15 +105,23 @@ def _packed_layout(s: int, itemsize: int, bwd: bool, d: int):
     tuned/default cap, further clamped by the fused VMEM model. Returns
     (0, s_pad, 0) when the fused kernel cannot fit.
 
-    An autotune-table entry ``{"packed": {"<s128>,<itemsize>": {"fwd": b,
-    "bwd": b}}}`` overrides BOTH the wedge cap and the VMEM clamp — the
+    An autotune-table entry ``{"packed": {"<s128>,<itemsize>,<d>": {"fwd":
+    b, "bwd": b}}}`` overrides BOTH the wedge cap and the VMEM clamp — the
     autotuner only records candidates that compiled and ran on the
     tuning chip, which is strictly better evidence than the analytic
-    model (the model exists to pick safe defaults untuned)."""
+    model (the model exists to pick safe defaults untuned). But that
+    evidence is only valid at the head_dim it was gathered at (the
+    operand charge is s_pad*d): legacy d-less keys were tuned at d=128
+    and are honored only for d <= 128, where the working set is no
+    larger than what the tuning chip proved — a bigger d falls back to
+    the analytic model instead of risking a Mosaic scoped-VMEM crash."""
     from dalle_mtf_tpu.ops.attention import _wedge_layout  # noqa: PLC0415
 
     s128 = _round_up(s, 128)
-    tuned = _tune_table().get("packed", {}).get(f"{s128},{itemsize}")
+    packed_table = _tune_table().get("packed", {})
+    tuned = packed_table.get(f"{s128},{itemsize},{d}")
+    if tuned is None and d <= 128:
+        tuned = packed_table.get(f"{s128},{itemsize}")
     if tuned:
         blk = _round_up(int(tuned["bwd" if bwd else "fwd"]), 128)
         n = -(-s128 // blk)

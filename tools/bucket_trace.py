@@ -18,9 +18,6 @@ from analyze_trace import exclusive_times, load_events  # noqa: E402
 
 def hlo_metadata(hlo_path):
     meta = {}
-    pat = re.compile(
-        r"%?([\w.\-]+) = .*?(?:metadata=\{op_name=\"([^\"]*)\")?"
-    )
     for line in open(hlo_path):
         m = re.match(r"\s+%?([\w.\-]+) = (\S+)", line)
         if not m:
