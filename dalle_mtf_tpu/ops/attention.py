@@ -1050,6 +1050,185 @@ def _bwd_dkv_kernel(
     dv_ref[...] = dv.astype(dv_ref.dtype)
 
 
+def _hybrid_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
+                       lse_row_ref, dsum_row_ref, dq_ref, dk_ref, dv_ref,
+                       *, block: int, tile: int, window, seq_len,
+                       s_pad: int):
+    """Fused dQ + dK/dV for one (batch*head, block) at hybrid lengths
+    (3072 < S <= WEDGE_FWD_MAX_SEQ): q/k/v/do stay FULLY VMEM-RESIDENT
+    across the minor grid axis (their BlockSpecs are block-constant, so
+    Pallas fetches each operand from HBM once per batch*head — the separate
+    dq/dkv loop kernels of the long-S family stream them twice), and the
+    score work runs in [block, tile] fp32 tiles through inner fori_loops
+    whose bounds encode the causal skip in BOTH directions (dQ: key tiles
+    up to the diagonal; dK/dV: query tiles from the diagonal). The wedge
+    family's whole-row score buffers don't fit VMEM at these lengths —
+    tiling the row is what extends its one-call fusion past S=3072."""
+    d = q_ref.shape[-1]
+    scale = 1.0 / math.sqrt(d)
+    i0 = pl.program_id(1) * block
+
+    qb = q_ref[pl.ds(i0, block), :]
+    dob = do_ref[pl.ds(i0, block), :]
+    lse_b = lse_ref[:, :1]
+    dsum_b = dsum_ref[:, :1]
+
+    # ---- dQ half: key tiles [j*tile, (j+1)*tile) intersecting [k0, i0+block)
+    def dq_body(j, acc):
+        kt = k_ref[pl.ds(j * tile, tile), :]
+        vt = v_ref[pl.ds(j * tile, tile), :]
+        s = jax.lax.dot_general(
+            qb, kt, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [block, tile]
+        row = i0 + jax.lax.broadcasted_iota(jnp.int32, (block, tile), 0)
+        col = j * tile + jax.lax.broadcasted_iota(jnp.int32, (block, tile), 1)
+        mask = col > row
+        if seq_len is not None:
+            mask = jnp.logical_or(mask, col >= seq_len)
+        if window is not None:
+            mask = jnp.logical_or(mask, row - col >= window)
+        p = jnp.where(mask, 0.0, jnp.exp(s - lse_b))
+        dp = jax.lax.dot_general(
+            dob, vt, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p * (dp - dsum_b)).astype(kt.dtype)
+        return acc + jax.lax.dot_general(
+            ds, kt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    n_kv = jax.lax.div(i0 + block - 1, tile) + 1
+    if window is None:
+        j_lo = 0
+    else:  # key tiles wholly below the band are skipped
+        j_lo = jnp.maximum(0, jax.lax.div(i0 - window + 1, tile))
+    dq = jax.lax.fori_loop(
+        j_lo, n_kv, dq_body, jnp.zeros((block, d), jnp.float32)
+    )
+    dq_ref[...] = (dq * scale).astype(dq_ref.dtype)
+
+    # ---- dK/dV half: key block i vs query tiles from the diagonal up
+    kb = k_ref[pl.ds(i0, block), :]
+    vb = v_ref[pl.ds(i0, block), :]
+
+    def dkv_body(j, carry):
+        dk_acc, dv_acc = carry
+        qt = q_ref[pl.ds(j * tile, tile), :]
+        dot_ = do_ref[pl.ds(j * tile, tile), :]
+        sT = jax.lax.dot_general(
+            kb, qt, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [block, tile]
+        krow = i0 + jax.lax.broadcasted_iota(jnp.int32, (block, tile), 0)
+        qcol = j * tile + jax.lax.broadcasted_iota(jnp.int32, (block, tile), 1)
+        maskT = krow > qcol
+        if seq_len is not None:
+            maskT = jnp.logical_or(maskT, krow >= seq_len)
+        if window is not None:
+            maskT = jnp.logical_or(maskT, qcol - krow >= window)
+        lse_t = lse_row_ref[0:1, pl.ds(j * tile, tile)]
+        dsum_t = dsum_row_ref[0:1, pl.ds(j * tile, tile)]
+        pT = jnp.where(maskT, 0.0, jnp.exp(sT - lse_t))
+        dv_acc = dv_acc + jax.lax.dot_general(
+            pT.astype(dot_.dtype), dot_, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dpT = jax.lax.dot_general(
+            vb, dot_, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dsT = (pT * (dpT - dsum_t)).astype(qt.dtype)
+        dk_acc = dk_acc + jax.lax.dot_general(
+            dsT, qt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return dk_acc, dv_acc
+
+    i_lo = jax.lax.div(i0, tile)
+    n_q = s_pad // tile
+    if window is not None:  # query tiles beyond the band contribute nothing
+        n_q = jnp.minimum(n_q, jax.lax.div(i0 + block - 1 + window, tile) + 1)
+    zero = jnp.zeros((block, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(i_lo, n_q, dkv_body, (zero, zero))
+    dk_ref[...] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[...] = dv.astype(dv_ref.dtype)
+
+
+def _hybrid_backward(q, k, v, out, lse_flat, g, window, interpret: bool):
+    """One-pallas_call fused backward for the hybrid regime — pairs with
+    the capped wedge forward (whose padded length lse carries). Measured
+    S=4352 vs the two-call loop family in BENCH.md (r5 long-S section)."""
+    b, h, s, d = q.shape
+    bh = b * h
+    s_pad = lse_flat.shape[1]  # the FORWARD's padded length
+    tuned = _tune_table().get("hybrid_bwd", {}).get(
+        f"{_round_up(s, 128)},{q.dtype.itemsize}"
+    )
+    if tuned and s_pad % int(tuned[0]) == 0 and s_pad % int(tuned[1]) == 0:
+        block, tile = int(tuned[0]), int(tuned[1])
+    else:
+        block = 256 if s_pad % 256 == 0 else 128
+        tile = next(t for t in (512, 256, 128) if s_pad % t == 0)
+
+    dsum = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    dsum = _pad_seq(dsum[..., None], s_pad).reshape(bh, s_pad, 1)
+    dsum_flat = jnp.broadcast_to(dsum, (bh, s_pad, LSE_LANES))
+
+    qf = _pad_seq(q, s_pad).reshape(bh, s_pad, d)
+    kf = _pad_seq(k, s_pad).reshape(bh, s_pad, d)
+    vf = _pad_seq(v, s_pad).reshape(bh, s_pad, d)
+    gf = _pad_seq(g, s_pad).reshape(bh, s_pad, d)
+    lse_row = jnp.broadcast_to(
+        lse_flat[:, :, 0][:, None, :], (bh, LSE_ROWS, s_pad)
+    )
+    dsum_row = jnp.broadcast_to(
+        dsum[:, :, 0][:, None, :], (bh, LSE_ROWS, s_pad)
+    )
+
+    n_blk = s_pad // block
+    full = lambda: pl.BlockSpec((None, s_pad, d), lambda b_, i: (b_, 0, 0))  # noqa: E731
+    blk = lambda: pl.BlockSpec((None, block, d), lambda b_, i: (b_, i, 0))  # noqa: E731
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(
+            _hybrid_bwd_kernel, block=block, tile=tile, window=window,
+            seq_len=s if s != s_pad else None, s_pad=s_pad,
+        ),
+        grid=(bh, n_blk),
+        in_specs=[
+            full(), full(), full(), full(),
+            pl.BlockSpec((None, block, LSE_LANES), lambda b_, i: (b_, i, 0)),
+            pl.BlockSpec((None, block, LSE_LANES), lambda b_, i: (b_, i, 0)),
+            pl.BlockSpec((None, LSE_ROWS, s_pad), lambda b_, i: (b_, 0, 0)),
+            pl.BlockSpec((None, LSE_ROWS, s_pad), lambda b_, i: (b_, 0, 0)),
+        ],
+        out_specs=[blk(), blk(), blk()],
+        out_shape=[jax.ShapeDtypeStruct((bh, s_pad, d), q.dtype)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=7 * bh * s_pad * s_pad * d,  # ~7 matmuls over causal half
+            bytes_accessed=7 * bh * s_pad * d * q.dtype.itemsize,
+            transcendentals=bh * s_pad * s_pad,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, gf, lse_flat, dsum_flat, lse_row, dsum_row)
+
+    def unflat(x):
+        x = x.reshape(b, h, s_pad, d)
+        return x[:, :, :s, :] if s_pad != s else x
+
+    return unflat(dq), unflat(dk), unflat(dv)
+
+
+# Long-S backward implementation above WHOLE_ROW_MAX_SEQ: "fused" (one
+# pallas_call, VMEM-resident operands — default) or "loop" (the two-call
+# dq/dkv streaming family, also the fp32 and >WEDGE_FWD_MAX_SEQ path).
+LONG_BWD_IMPL = _os0.environ.get("DALLE_TPU_ATTN_LONG_BWD", "fused")
+
+
 def _flash_backward(
     q, k, v, out, lse_flat, g, window, block_q, block_k, interpret
 ):
@@ -1059,6 +1238,12 @@ def _flash_backward(
             return _wedge_backward(q, k, v, out, lse_flat, g, window,
                                    interpret)
         return _wr_backward(q, k, v, out, lse_flat, g, window, interpret)
+    if (LONG_BWD_IMPL == "fused" and SHORT_IMPL == "wedge"
+            and q.dtype.itemsize <= 2
+            and _round_up(s, 128) <= WEDGE_FWD_MAX_SEQ):
+        # pairs with the hybrid wedge forward (same gates) — under a
+        # DALLE_TPU_ATTN_SHORT=wr override the loop family stays end to end
+        return _hybrid_backward(q, k, v, out, lse_flat, g, window, interpret)
     block_q = min(block_q, s)
     block_k = min(block_k, s)
     s_pad = lse_flat.shape[1]

@@ -267,8 +267,11 @@ class TestWedgeKernels:
 
 class TestHybridWedgeForward:
     """3072 < S ≤ WEDGE_FWD_MAX_SEQ runs the wedge FORWARD (causal-skip,
-    VMEM-capped block) with the loop-kernel BACKWARD. Forced here at small
-    shapes by shrinking both dispatch thresholds."""
+    VMEM-capped block) with the FUSED tiled backward (r5; the loop-kernel
+    backward remains the DALLE_TPU_ATTN_LONG_BWD=loop escape and the
+    fp32 / >WEDGE_FWD_MAX_SEQ path). Forced here at small shapes by
+    shrinking both dispatch thresholds — the grad checks in this class
+    exercise _hybrid_backward end to end."""
 
     @pytest.fixture(autouse=True)
     def _small_thresholds(self, monkeypatch):
@@ -348,6 +351,127 @@ class TestHybridWedgeForward:
             np.asarray(attention_reference(q, k, v, causal=True)),
             atol=2e-5,
         )
+
+    def test_fused_backward_engages(self, monkeypatch):
+        """The default long-S backward is the ONE-call fused kernel, not
+        the two-call loop family."""
+        from dalle_mtf_tpu.ops import attention as attn_mod
+
+        calls = {"hybrid": 0}
+        orig = attn_mod._hybrid_backward
+
+        def spy(*a, **kw):
+            calls["hybrid"] += 1
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(attn_mod, "_hybrid_backward", spy)
+        b, h, seq, d = 1, 2, 1536, 128
+        ks = jax.random.split(jax.random.PRNGKey(5), 4)
+        q, k, v = (jax.random.normal(kk, (b, h, seq, d)).astype(jnp.bfloat16)
+                   for kk in ks[:3])
+        g = jax.random.normal(ks[3], (b, h, seq, d), jnp.float32)
+        jax.grad(lambda q_: (causal_attention(
+            q_, k, v, use_pallas=True, interpret=True
+        ).astype(jnp.float32) * g).sum())(q)
+        assert calls["hybrid"] == 1
+
+    def test_loop_escape_hatch(self, monkeypatch):
+        """DALLE_TPU_ATTN_LONG_BWD=loop keeps the streaming dq/dkv family
+        selectable per deployment (and stays grad-correct)."""
+        from dalle_mtf_tpu.ops import attention as attn_mod
+
+        monkeypatch.setattr(attn_mod, "LONG_BWD_IMPL", "loop")
+
+        def boom(*a, **kw):
+            raise AssertionError("fused backward must not run under loop")
+
+        monkeypatch.setattr(attn_mod, "_hybrid_backward", boom)
+        b, h, seq, d = 1, 1, 1536, 128
+        ks = jax.random.split(jax.random.PRNGKey(6), 4)
+        q, k, v = (jax.random.normal(kk, (b, h, seq, d)).astype(jnp.bfloat16)
+                   for kk in ks[:3])
+        g = jax.random.normal(ks[3], (b, h, seq, d), jnp.float32)
+        gf = jax.grad(lambda *a: (causal_attention(
+            *a, use_pallas=True, interpret=True).astype(jnp.float32)
+            * g).sum(), argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(lambda *a: (attention_reference(
+            *a, causal=True).astype(jnp.float32) * g).sum(),
+            argnums=(0, 1, 2))(q, k, v)
+        for a_, b_ in zip(gf, gr):
+            np.testing.assert_allclose(
+                np.asarray(a_, np.float32), np.asarray(b_, np.float32),
+                atol=5e-2,
+            )
+
+    def test_fused_backward_block128_fallback(self, monkeypatch):
+        """A tuned wedge cap of 512 at S=1100 gives forward blocks of 384
+        (ceil(1152/3) rounded to 128) and s_pad 1152 — not a 256-multiple —
+        so the fused backward must drop to block/tile 128 (the
+        always-dividing fallback) and stay grad-correct."""
+        from dalle_mtf_tpu.ops import attention as attn_mod
+
+        attn_mod.set_tune_table({"wedge": {"1152,2": 512}})
+        layouts = {}
+        orig = attn_mod._hybrid_backward
+
+        def spy(q, k, v, out, lse_flat, g_, window, interpret):
+            layouts["s_pad"] = lse_flat.shape[1]
+            return orig(q, k, v, out, lse_flat, g_, window, interpret)
+
+        monkeypatch.setattr(attn_mod, "_hybrid_backward", spy)
+        b, h, seq, d = 1, 1, 1100, 128
+        ks = jax.random.split(jax.random.PRNGKey(8), 4)
+        q, k, v = (jax.random.normal(kk, (b, h, seq, d)).astype(jnp.bfloat16)
+                   for kk in ks[:3])
+        g = jax.random.normal(ks[3], (b, h, seq, d), jnp.float32)
+        gf = jax.grad(lambda *a: (causal_attention(
+            *a, use_pallas=True, interpret=True).astype(jnp.float32)
+            * g).sum(), argnums=(0, 1, 2))(q, k, v)
+        assert layouts["s_pad"] == 1152 and layouts["s_pad"] % 256 != 0
+        gr = jax.grad(lambda *a: (attention_reference(
+            *a, causal=True).astype(jnp.float32) * g).sum(),
+            argnums=(0, 1, 2))(q, k, v)
+        for a_, b_ in zip(gf, gr):
+            np.testing.assert_allclose(
+                np.asarray(a_, np.float32), np.asarray(b_, np.float32),
+                atol=5e-2,
+            )
+
+    def test_fused_backward_tuned_layout(self, monkeypatch):
+        """A {"hybrid_bwd": {"<s128>,<itemsize>": [block, tile]}} table
+        entry overrides the analytic block/tile when it divides the
+        forward's padding; a non-dividing entry is ignored."""
+        from dalle_mtf_tpu.ops import attention as attn_mod
+
+        seen = []
+        orig = attn_mod._hybrid_bwd_kernel
+
+        def spy(*a, **kw):
+            seen.append((kw["block"], kw["tile"]))
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(attn_mod, "_hybrid_bwd_kernel", spy)
+        b, h, seq, d = 1, 1, 1536, 128
+        ks = jax.random.split(jax.random.PRNGKey(9), 4)
+        q, k, v = (jax.random.normal(kk, (b, h, seq, d)).astype(jnp.bfloat16)
+                   for kk in ks[:3])
+        g = jax.random.normal(ks[3], (b, h, seq, d), jnp.float32)
+
+        def run():
+            seen.clear()
+            jax.grad(lambda q_: (causal_attention(
+                q_, k, v, use_pallas=True, interpret=True
+            ).astype(jnp.float32) * g).sum())(q)
+            return seen[0]
+
+        attn_mod.set_tune_table(
+            {"wedge": {"1536,2": 512}, "hybrid_bwd": {"1536,2": [512, 256]}}
+        )
+        assert run() == (512, 256)
+        attn_mod.set_tune_table(
+            {"wedge": {"1536,2": 512}, "hybrid_bwd": {"1536,2": [640, 640]}}
+        )
+        assert run() == (256, 512)  # 640 doesn't divide 1536 -> analytic
 
     def test_bwd_block_fallback_divides_fwd_padding(self):
         from dalle_mtf_tpu.ops import attention as attn_mod
