@@ -473,6 +473,34 @@ class Trainer:
         # Capped so the two in-flight staged [K, B, ...] super-batches stay
         # modest (double-buffering keeps the current + next chunk resident).
         iterations = min(int(p.get("iterations") or 1), 32)
+        # ...but the device loop only pays when the staged super-batch is
+        # SMALL (token-mode batches: ~KBs/step). At image-batch sizes the
+        # monolithic [K, B, 256, 256, 3] H2D transfer cannot hide behind
+        # one chunk's compute even double-buffered, while per-step async
+        # dispatch pipelines each step's 10-MB-class transfer with compute:
+        # measured per-step 260 ms/step vs K=32 chunks 620-730 ms/step at
+        # dalle_coco scale (BENCH.md r5 real-trainer table; VERDICT r4 #1).
+        # Gate on bytes, not on key names, so any small-record task gets
+        # the loop; "device_loop_max_stage_mb" overrides (0 disables).
+        import itertools  # noqa: PLC0415
+
+        peek = next(data_iter, None)
+        if peek is not None:  # put the peeked batch back at the stream head
+            data_iter = itertools.chain([peek], data_iter)
+        if iterations > 1 and peek is not None:
+            max_stage_mb = p.get("device_loop_max_stage_mb")
+            max_stage_mb = 64.0 if max_stage_mb is None else float(max_stage_mb)
+            batch_mb = sum(
+                np.asarray(x).nbytes for x in jax.tree_util.tree_leaves(peek)
+            ) / 2**20
+            if batch_mb * iterations > max_stage_mb:
+                logger.info(
+                    "device loop disabled: staging %d x %.1f MB batches "
+                    "(> device_loop_max_stage_mb=%.0f) would stall the "
+                    "critical path; using per-step async dispatch",
+                    iterations, batch_mb, max_stage_mb,
+                )
+                iterations = 1
 
         def _chunk_lengths():
             # k is FIXED at `iterations` (or 1): every distinct chunk length
