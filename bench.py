@@ -134,7 +134,13 @@ def _main():
     seq = cfg.total_seq_len
 
     opt_params = Config.from_mapping(
-        {"lr": 1e-4, "train_steps": 100_000, "warmup_steps": 3000}
+        {
+            "lr": 1e-4,
+            "train_steps": 100_000,
+            "warmup_steps": 3000,
+            # BENCH_FUSED_OPT=1: single-pass clip+AdamW (optim.fused_adamw)
+            "fused_optimizer": bool(int(os.environ.get("BENCH_FUSED_OPT", "0"))),
+        }
     )
     opt, _sched = get_optimizer(opt_params)
 

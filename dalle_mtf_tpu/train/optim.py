@@ -83,6 +83,101 @@ def decay_mask(params) -> Any:
     )
 
 
+def fused_adamw(
+    schedule: Callable[[jax.Array], jax.Array],
+    b1: float,
+    b2: float,
+    eps: float,
+    weight_decay: float,
+    mask_fn: Callable[[Any], Any] | None,
+    clip: float | None,
+) -> optax.GradientTransformation:
+    """Single-pass AdamW + global-norm clip, math-identical to the default
+    ``optax.chain(clip_by_global_norm, adamw(learning_rate=schedule))``.
+
+    The optax chain runs the update as several tree passes (clip scaling,
+    moment updates, bias correction, decayed weights, LR scaling), each a
+    separate read-modify-write over the 180M-param state. The r4b profile
+    measured the whole update at 10.4 ms vs a ~6.3 ms traffic floor
+    (read g/m/v/p + write m/v/p once). Here everything after the global
+    norm (one unavoidable full read of g) happens in ONE fused per-leaf
+    expression, so XLA emits a single loop per leaf:
+
+        g'  = g * clip/max(|g|_2, clip)
+        m'  = b1*m + (1-b1)*g';          v' = b2*v + (1-b2)*g'^2
+        u   = -lr(t) * (m'/(1-b1^(t+1)) / (sqrt(v'/(1-b2^(t+1))) + eps)
+                        + wd*mask*p)
+
+    Equivalence is pinned by tests/test_trainer.py (same trajectories as
+    the optax chain within float tolerance). Selected via config
+    ``fused_optimizer: true`` — the default stays the optax chain, whose
+    trajectories the committed loss fixtures pin bitwise.
+    """
+
+    def init(params):
+        return {
+            "count": jnp.zeros((), jnp.int32),
+            "m": jax.tree_util.tree_map(
+                lambda p: jnp.zeros_like(p, jnp.float32), params
+            ),
+            "v": jax.tree_util.tree_map(
+                lambda p: jnp.zeros_like(p, jnp.float32), params
+            ),
+        }
+
+    def update(grads, state, params=None):
+        count = state["count"]
+        count_inc = count + 1
+        if clip:
+            gnorm = jnp.sqrt(
+                sum(
+                    jnp.sum(jnp.square(g.astype(jnp.float32)))
+                    for g in jax.tree_util.tree_leaves(grads)
+                )
+            )
+            gscale = clip / jnp.maximum(gnorm, clip)
+        else:
+            gscale = jnp.float32(1.0)
+        # optax.scale_by_schedule calls schedule with its PRE-increment
+        # count (first update sees t=0), scale_by_adam bias-corrects with
+        # the post-increment count
+        lr = schedule(count)
+        bc1 = 1.0 - b1 ** count_inc.astype(jnp.float32)
+        bc2 = 1.0 - b2 ** count_inc.astype(jnp.float32)
+        mask = mask_fn(params) if (mask_fn is not None and weight_decay) else None
+
+        def leaf(g, m, v, p, use_decay):
+            g = g.astype(jnp.float32) * gscale
+            m_new = b1 * m + (1.0 - b1) * g
+            v_new = b2 * v + (1.0 - b2) * jnp.square(g)
+            u = (m_new / bc1) / (jnp.sqrt(v_new / bc2) + eps)
+            if weight_decay and use_decay:
+                u = u + weight_decay * p.astype(jnp.float32)
+            return (-lr * u).astype(p.dtype), m_new, v_new
+
+        if mask is None:
+            out = jax.tree_util.tree_map(
+                lambda g, m, v, p: leaf(g, m, v, p, bool(weight_decay)),
+                grads, state["m"], state["v"], params,
+            )
+        else:
+            out = jax.tree_util.tree_map(
+                lambda g, m, v, p, d: leaf(g, m, v, p, d),
+                grads, state["m"], state["v"], params, mask,
+            )
+        treedef = jax.tree_util.tree_structure(grads)
+        updates, ms, vs = (
+            jax.tree_util.tree_unflatten(
+                treedef, [t[i] for t in jax.tree_util.tree_leaves(
+                    out, is_leaf=lambda x: isinstance(x, tuple))]
+            )
+            for i in range(3)
+        )
+        return updates, {"count": count_inc, "m": ms, "v": vs}
+
+    return optax.GradientTransformation(init, update)
+
+
 def get_optimizer(
     params: Mapping[str, Any]
 ) -> tuple[optax.GradientTransformation, Callable[[jax.Array], jax.Array]]:
@@ -105,6 +200,23 @@ def get_optimizer(
     clip = params.get("gradient_clipping")
     if clip is None:
         clip = 1.0
+
+    if name == "adam" and params.get("fused_optimizer"):
+        # single-pass clip+AdamW (see fused_adamw) — opt-in so the default
+        # trajectories stay bitwise-pinned by the committed loss fixtures
+        tx = fused_adamw(
+            schedule,
+            b1=params.get("beta_1") or 0.9,
+            b2=params.get("beta_2") or 0.999,
+            eps=params.get("epsilon") or 1e-6,
+            weight_decay=params.get("weight_decay") or 0.0,
+            mask_fn=decay_mask,
+            clip=clip or None,
+        )
+        skip = params.get("skip_nonfinite_updates")
+        if skip:
+            tx = optax.apply_if_finite(tx, max_consecutive_errors=int(skip))
+        return tx, schedule
 
     chain = []
     if clip:

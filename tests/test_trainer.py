@@ -532,3 +532,62 @@ def test_skip_nonfinite_updates_guards_params():
     params_after_good = optax.apply_updates(params_after_bad, updates)
     assert not np.allclose(np.asarray(params_after_good["w"]), np.ones((4,)))
     assert int(state.notfinite_count) == 0  # resets on a finite step
+
+
+class TestFusedAdamW:
+    """fused_optimizer: true — the single-pass clip+AdamW (optim.fused_adamw)
+    must follow the optax chain's trajectory exactly (same clip scaling,
+    bias correction, masked weight decay, schedule indexing), so a config
+    can flip it on without changing training math."""
+
+    P = {
+        "lr": 3e-3, "train_steps": 50, "warmup_steps": 4,
+        "weight_decay": 0.1, "gradient_clipping": 1.0,
+    }
+
+    def _tree(self, key, scale=1.0):
+        ks = jax.random.split(key, 4)
+        return {
+            "w": jax.random.normal(ks[0], (8, 16)) * scale,
+            "ln_g": jax.random.normal(ks[1], (16,)) * scale,  # no decay
+            "bias": jax.random.normal(ks[2], (16,)) * scale,  # no decay
+            "emb": jax.random.normal(ks[3], (32, 16)) * scale,
+        }
+
+    def _run(self, fused: bool, grad_scale: float):
+        p = Config.from_mapping({**self.P, "fused_optimizer": fused})
+        tx, _ = get_optimizer(p)
+        params = self._tree(jax.random.PRNGKey(0))
+        state = tx.init(params)
+        traj = []
+        for t in range(5):
+            grads = self._tree(jax.random.PRNGKey(100 + t), grad_scale)
+            updates, state = tx.update(grads, state, params)
+            params = optax.apply_updates(params, updates)
+            traj.append(params)
+        return traj
+
+    @pytest.mark.parametrize("grad_scale", [0.01, 5.0])
+    def test_matches_optax_chain(self, grad_scale):
+        # 0.01: global norm under the clip (scale inactive); 5.0: clip active
+        ref = self._run(False, grad_scale)
+        fused = self._run(True, grad_scale)
+        for pr, pf in zip(ref, fused):
+            for k in pr:
+                np.testing.assert_allclose(
+                    np.asarray(pr[k]), np.asarray(pf[k]),
+                    rtol=2e-6, atol=2e-7, err_msg=k,
+                )
+
+    def test_skip_nonfinite_composes(self):
+        p = Config.from_mapping(
+            {**self.P, "fused_optimizer": True, "skip_nonfinite_updates": 2}
+        )
+        tx, _ = get_optimizer(p)
+        params = {"w": jnp.ones((4,))}
+        state = tx.init(params)
+        updates, state = tx.update({"w": jnp.full((4,), jnp.nan)}, state, params)
+        np.testing.assert_array_equal(
+            np.asarray(optax.apply_updates(params, updates)["w"]), np.ones((4,))
+        )
+        assert int(state.notfinite_count) == 1
