@@ -24,6 +24,9 @@ import os  # noqa: E402
 
 PER_CHIP_BATCH = int(os.environ.get("BENCH_VAE_BATCH", 32))
 RECOMPUTE = bool(int(os.environ.get("BENCH_VAE_RECOMPUTE", "1")))
+# 384 benches the dalle_12B stage-1 (configs/vae_coco384.json — same
+# convblocks/codebook, 48x48 = 2304-token grid)
+IMAGE_SIZE = int(os.environ.get("BENCH_VAE_IMAGE_SIZE", 256))
 WARMUP = 2
 STEPS = 10
 
@@ -32,7 +35,7 @@ def main():
     n_chips = jax.device_count()
     cfg = VAEConfig(
         num_tokens=2048,
-        image_size=256,
+        image_size=IMAGE_SIZE,
         convblocks=((2, 128), (3, 256), (5, 512)),
         use_bf16=True,
         recompute_grad=RECOMPUTE,
@@ -46,7 +49,7 @@ def main():
     params = jax.jit(vae.init)(jax.random.PRNGKey(0))
     opt_state = jax.jit(opt.init)(params)
     img = jax.random.uniform(
-        jax.random.PRNGKey(1), (batch, 256, 256, 3), jnp.float32, -1.0, 1.0
+        jax.random.PRNGKey(1), (batch, IMAGE_SIZE, IMAGE_SIZE, 3), jnp.float32, -1.0, 1.0
     )
 
     @jax.jit
@@ -78,7 +81,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "vae_coco_train_images_per_sec_per_chip",
+                "metric": f"vae_coco{IMAGE_SIZE if IMAGE_SIZE != 256 else ''}_train_images_per_sec_per_chip",
                 "value": round(imgs_per_sec_chip, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": None,  # no reference number exists (BASELINE.md)

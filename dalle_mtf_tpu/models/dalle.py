@@ -31,7 +31,10 @@ from typing import Any, Callable, Mapping
 import jax
 import jax.numpy as jnp
 
-from dalle_mtf_tpu.ops.attention import causal_attention, decode_attention
+from dalle_mtf_tpu.ops.attention import (
+    causal_attention_tp,
+    decode_attention,
+)
 from dalle_mtf_tpu.ops.layer_norm import layer_norm as pallas_layer_norm
 from dalle_mtf_tpu.ops.losses import softmax_cross_entropy_with_logits
 from dalle_mtf_tpu.utils.precision import Policy, get_policy
@@ -737,6 +740,11 @@ class DALLE:
                 q, k, v, h, window=window,
                 dropout_rate=drop,
                 dropout_rng=r_attn if drop > 0.0 else None,
+                # DP/TP mesh axes: Mosaic kernels cannot be GSPMD-auto-
+                # partitioned, so the kernel shard_maps over these when the
+                # ambient mesh actually shards them (attention_packed.py)
+                batch_axis=cfg.ring_batch_axis,
+                heads_axis=cfg.ring_heads_axis,
             )
             a = constrain(a, BATCH, SEQ, HEADS)
             a = checkpoint_name(self._attn_out_packed(p, a), "attn_proj")
@@ -770,13 +778,21 @@ class DALLE:
             # models.py:294-299). causal_attention runs it INSIDE the wedge
             # kernel via a coordinate-hash keep mask — no [S, S] tensor —
             # and falls back to the dense XLA path beyond the wedge regime,
-            # for head_dim not a lane multiple, or off-TPU.
-            a = causal_attention(
+            # for head_dim not a lane multiple, or off-TPU. The _tp entry
+            # shard_maps the kernel over DP/TP mesh axes when the ambient
+            # mesh shards them (Mosaic can't be GSPMD-auto-partitioned).
+            a = causal_attention_tp(
                 q, k, v, window=window,
                 dropout_rate=drop, dropout_rng=r_attn,
+                batch_axis=cfg.ring_batch_axis,
+                heads_axis=cfg.ring_heads_axis,
             )
         else:
-            a = causal_attention(q, k, v, window=window)
+            a = causal_attention_tp(
+                q, k, v, window=window,
+                batch_axis=cfg.ring_batch_axis,
+                heads_axis=cfg.ring_heads_axis,
+            )
         a = constrain(a, BATCH, HEADS, SEQ, KV)
         a = checkpoint_name(self._attn_out(p, a), "attn_proj")
         return self._block_tail(p, x, a, r_res1, r_res2, train, constrain)
@@ -1236,7 +1252,11 @@ class DALLE:
             (p,) = scanned
             a_in = self._layer_norm(x_, p["ln1_g"], p["ln1_b"])
             q, k, v = self._qkv(p, a_in)
-            a = causal_attention(q, k, v, window=self._window)
+            a = causal_attention_tp(
+                q, k, v, window=self._window,
+                batch_axis=cfg.ring_batch_axis,
+                heads_axis=cfg.ring_heads_axis,
+            )
             x_ = x_ + self._attn_out(p, a)
             m_in = self._layer_norm(x_, p["ln2_g"], p["ln2_b"])
             x_ = x_ + self._mlp(p, m_in)

@@ -1503,6 +1503,111 @@ def causal_attention(
     )
 
 
+def _axis_is_manual(ax: str) -> bool:
+    """True when ``ax`` is already a bound (manual/shard_map) axis in the
+    current trace — nesting another shard_map over it would be invalid."""
+    try:
+        jax.lax.axis_index(ax)
+        return True
+    except Exception:
+        return False
+
+
+def causal_attention_tp(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    window: int | None = None,
+    dropout_rate: float = 0.0,
+    dropout_rng: jax.Array | None = None,
+    batch_axis: str | None = None,
+    heads_axis: str | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """``causal_attention`` under data/tensor parallelism.
+
+    GSPMD cannot auto-partition Mosaic custom calls ("Mosaic kernels
+    cannot be automatically partitioned") — a fact the CPU multichip
+    dryruns never see because off-TPU attention falls back to the XLA
+    reference, and single-chip runs never partition. Discovered by the r5
+    AOT compile of dalle_12B against a real v5e:8x16 topology
+    (tools/aot_12b.py). The fix is the same shape as ring_attention_auto:
+    when the ambient mesh shards the batch dim over ``batch_axis`` (DP)
+    and/or heads over ``heads_axis`` (TP), run the kernel inside a
+    shard_map over exactly those axes — attention is independent per
+    (batch, head), so each device executes the unmodified kernel on its
+    local shard and the result is bitwise the unsharded computation.
+
+    Dropout stays decorrelated across shards: the base rng is folded with
+    the device's (batch, heads) axis index before the kernel derives its
+    coordinate-hash seed (same scheme as ring_attention_auto).
+
+    Degrades to plain ``causal_attention`` when no mesh/axis applies, an
+    axis is already manual (inside an outer shard_map — e.g. a pipeline
+    stage), or a dim is not divisible by its axis (GSPMD pads XLA ops but
+    shard_map cannot; the dense reference handles that rare case).
+    """
+    from dalle_mtf_tpu.ops.ring_attention import ambient_mesh  # noqa: PLC0415
+
+    plain = functools.partial(
+        causal_attention, window=window, dropout_rate=dropout_rate,
+        dropout_rng=dropout_rng, interpret=interpret,
+    )
+    if not (_on_tpu() or interpret):
+        return plain(q, k, v)
+    mesh = ambient_mesh()
+    if mesh is None:
+        return plain(q, k, v)
+    ba = (batch_axis if batch_axis in mesh.axis_names
+          and mesh.shape[batch_axis] > 1 else None)
+    ha = (heads_axis if heads_axis in mesh.axis_names
+          and mesh.shape[heads_axis] > 1 else None)
+    if ba is None and ha is None:
+        return plain(q, k, v)
+    if any(_axis_is_manual(ax) for ax in mesh.axis_names):
+        return plain(q, k, v)  # already inside a manual region
+    b, h = q.shape[0], q.shape[1]
+    if (ba and b % mesh.shape[ba]) or (ha and h % mesh.shape[ha]):
+        return attention_reference(
+            q, k, v, True, window, dropout_rate, dropout_rng
+        )
+    from jax import shard_map  # noqa: PLC0415
+    from jax.sharding import PartitionSpec as P  # noqa: PLC0415
+
+    if dropout_rng is None:
+        dropout_rng = jax.random.PRNGKey(0)  # unused (rate 0 inside)
+        rate = 0.0
+    else:
+        rate = float(dropout_rate)
+
+    def body(q_, k_, v_, rng_):
+        if rate > 0.0:
+            # unique per-device fold: global shard index over (batch, heads)
+            ix = jnp.zeros((), jnp.int32)
+            if ba is not None:
+                ix = ix + jax.lax.axis_index(ba) * (
+                    mesh.shape[ha] if ha is not None else 1
+                )
+            if ha is not None:
+                ix = ix + jax.lax.axis_index(ha)
+            rng_ = jax.random.fold_in(rng_, ix)
+        return causal_attention(
+            q_, k_, v_, window=window,
+            dropout_rate=rate, dropout_rng=rng_ if rate > 0.0 else None,
+            interpret=interpret,
+        )
+
+    spec = P(ba, ha, None, None)
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(spec, spec, spec, P()),
+        out_specs=spec,
+        check_vma=False,  # pallas outputs opaque to vma inference (ring)
+    )
+    return fn(q, k, v, dropout_rng)
+
+
 def decode_attention(
     q: jax.Array,
     k_cache: jax.Array,

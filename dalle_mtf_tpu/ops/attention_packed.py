@@ -84,7 +84,14 @@ from dalle_mtf_tpu.ops.attention import (
 # model still yields block 640 (12.1 MB backward), while S=2560 drops to
 # block 256 with NO row padding (the 11 MB/2-tile model of the first cut
 # instead padded 1280 -> 1536, +8 ms/step — see BENCH.md r4 study).
-_FUSED_VMEM_BUDGET = 13 << 20
+# DALLE_TPU_FUSED_VMEM_MB overrides per chip generation: the v5e-calibrated
+# 13 MB landed a 16.32 MB Mosaic stack that v5p's 16.00 MB scoped limit
+# refused by 2% (r5 dalle_12B AOT, tools/aot_12b.py) — 12 MB compiles there.
+import os as _os_ap  # noqa: E402
+
+_FUSED_VMEM_BUDGET = int(
+    float(_os_ap.environ.get("DALLE_TPU_FUSED_VMEM_MB", "13")) * (1 << 20)
+)
 
 
 def _fused_block(s_pad: int, d: int, itemsize: int, bwd: bool) -> int:
@@ -467,6 +474,8 @@ def causal_attention_packed(
     interpret: bool = False,
     dropout_rate: float = 0.0,
     dropout_rng: jax.Array | None = None,
+    batch_axis: str | None = None,
+    heads_axis: str | None = None,
 ) -> jax.Array:
     """Causal multi-head attention over packed [B, S, H*D] tensors.
 
@@ -475,9 +484,78 @@ def causal_attention_packed(
     dropout with inverted scaling — reference models.py:221-227, 287-299)
     with heads folded into the last axis. Runs the fused packed kernels
     when the shape qualifies; otherwise unpacks and defers.
+
+    ``batch_axis``/``heads_axis``: mesh axes the batch dim / folded heads
+    dim shard over. Mosaic custom calls cannot be auto-partitioned by
+    GSPMD (see ops.attention.causal_attention_tp) — when the ambient mesh
+    actually shards those axes, the packed kernel runs inside a shard_map
+    over them, each device on its local (batch, heads) shard.
     """
     b, s, e = q.shape
     use_pallas = _on_tpu() or interpret
+    if use_pallas and (batch_axis or heads_axis):
+        from dalle_mtf_tpu.ops.attention import (  # noqa: PLC0415
+            _axis_is_manual,
+        )
+        from dalle_mtf_tpu.ops.ring_attention import (  # noqa: PLC0415
+            ambient_mesh,
+        )
+
+        mesh = ambient_mesh()
+        if mesh is not None:
+            ba = (batch_axis if batch_axis in mesh.axis_names
+                  and mesh.shape[batch_axis] > 1 else None)
+            ha = (heads_axis if heads_axis in mesh.axis_names
+                  and mesh.shape[heads_axis] > 1 else None)
+            if ((ba is not None or ha is not None)
+                    and not any(_axis_is_manual(ax) for ax in mesh.axis_names)):
+                nb = mesh.shape[ba] if ba else 1
+                nh = mesh.shape[ha] if ha else 1
+                if b % nb == 0 and n_heads % nh == 0:
+                    from jax import shard_map  # noqa: PLC0415
+                    from jax.sharding import PartitionSpec as P  # noqa: PLC0415
+
+                    rate = (float(dropout_rate)
+                            if dropout_rng is not None else 0.0)
+                    rng = (dropout_rng if dropout_rng is not None
+                           else jax.random.PRNGKey(0))
+
+                    def body(q_, k_, v_, rng_):
+                        if rate > 0.0:
+                            ix = jnp.zeros((), jnp.int32)
+                            if ba is not None:
+                                ix = ix + jax.lax.axis_index(ba) * nh
+                            if ha is not None:
+                                ix = ix + jax.lax.axis_index(ha)
+                            rng_ = jax.random.fold_in(rng_, ix)
+                        return causal_attention_packed(
+                            q_, k_, v_, n_heads // nh, window=window,
+                            interpret=interpret, dropout_rate=rate,
+                            dropout_rng=rng_ if rate > 0.0 else None,
+                        )
+
+                    spec = P(ba, None, ha)
+                    fn = shard_map(
+                        body, mesh=mesh,
+                        in_specs=(spec, spec, spec, P()),
+                        out_specs=spec,
+                        check_vma=False,
+                    )
+                    return fn(q, k, v, rng)
+                # non-dividing shard: the dense reference partitions fine
+                from dalle_mtf_tpu.ops.attention import (  # noqa: PLC0415
+                    attention_reference,
+                )
+
+                d = e // n_heads
+                qh, kh, vh = (
+                    t.reshape(b, s, n_heads, d).transpose(0, 2, 1, 3)
+                    for t in (q, k, v)
+                )
+                out = attention_reference(
+                    qh, kh, vh, True, window, dropout_rate, dropout_rng
+                )
+                return out.transpose(0, 2, 1, 3).reshape(b, s, e)
     if use_pallas and packed_kernel_eligible(s, e, n_heads,
                                              q.dtype.itemsize):
         if dropout_rate > 0.0 and dropout_rng is not None:

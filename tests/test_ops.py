@@ -733,3 +733,118 @@ class TestAttentionDropoutKernel:
         )
         np.testing.assert_allclose(np.asarray(d0), np.asarray(plain),
                                    atol=1e-6)
+
+
+class TestAttentionTPShardMap:
+    """causal_attention_tp / packed batch+heads sharding: GSPMD cannot
+    auto-partition Mosaic custom calls (found by the r5 dalle_12B AOT
+    compile against a real v5e:8x16 topology — tools/aot_12b.py), so under
+    a mesh that shards batch (DP) or heads (TP) the kernel must run inside
+    a shard_map over exactly those axes. Exercised here with interpret
+    kernels on the 8-fake-device mesh."""
+
+    def _mesh(self):
+        import numpy as np
+        from jax.sharding import Mesh
+
+        return Mesh(np.asarray(jax.devices()).reshape(2, 4), ("data", "model"))
+
+    def _qkv(self, b=4, h=4, s=256, d=128):
+        ks = jax.random.split(jax.random.PRNGKey(0), 3)
+        return tuple(
+            jax.random.normal(kk, (b, h, s, d)).astype(jnp.bfloat16)
+            for kk in ks
+        )
+
+    def test_tp_wrap_matches_reference_and_uses_shard_map(self):
+        from dalle_mtf_tpu.ops.attention import causal_attention_tp
+
+        q, k, v = self._qkv()
+        ref = attention_reference(q, k, v, causal=True)
+        mesh = self._mesh()
+        with mesh:
+            fn = lambda q_, k_, v_: causal_attention_tp(  # noqa: E731
+                q_, k_, v_, batch_axis="data", heads_axis="model",
+                interpret=True,
+            )
+            jaxpr = str(jax.make_jaxpr(fn)(q, k, v))
+            assert "shard_map" in jaxpr  # the wrap actually engaged
+            out = jax.jit(fn)(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            atol=2e-2,
+        )
+
+    def test_tp_wrap_grads_match_reference(self):
+        from dalle_mtf_tpu.ops.attention import causal_attention_tp
+
+        q, k, v = self._qkv(b=2, h=4, s=256)
+        g = jax.random.normal(jax.random.PRNGKey(9), q.shape, jnp.float32)
+        mesh = self._mesh()
+        with mesh:
+            gf = jax.grad(
+                lambda *a: (causal_attention_tp(
+                    *a, batch_axis="data", heads_axis="model", interpret=True
+                ).astype(jnp.float32) * g).sum(),
+                argnums=(0, 1, 2),
+            )(q, k, v)
+        gr = jax.grad(
+            lambda *a: (attention_reference(*a, causal=True).astype(
+                jnp.float32) * g).sum(),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        for a_, b_ in zip(gf, gr):
+            np.testing.assert_allclose(
+                np.asarray(a_, np.float32), np.asarray(b_, np.float32),
+                atol=5e-2,
+            )
+
+    def test_packed_tp_wrap_matches_reference(self):
+        from dalle_mtf_tpu.ops.attention_packed import causal_attention_packed
+
+        b, h, s, d = 4, 4, 256, 128
+        q, k, v = self._qkv(b, h, s, d)
+        qp, kp, vp = (
+            t.transpose(0, 2, 1, 3).reshape(b, s, h * d) for t in (q, k, v)
+        )
+        ref = attention_reference(q, k, v, causal=True)
+        mesh = self._mesh()
+        with mesh:
+            fn = lambda q_, k_, v_: causal_attention_packed(  # noqa: E731
+                q_, k_, v_, h, interpret=True,
+                batch_axis="data", heads_axis="model",
+            )
+            jaxpr = str(jax.make_jaxpr(fn)(qp, kp, vp))
+            assert "shard_map" in jaxpr
+            out = jax.jit(fn)(qp, kp, vp)
+        out4 = np.asarray(out, np.float32).reshape(b, s, h, d).transpose(
+            0, 2, 1, 3
+        )
+        np.testing.assert_allclose(
+            out4, np.asarray(ref, np.float32), atol=2e-2
+        )
+
+    def test_no_wrap_outside_mesh_or_on_undivisible(self):
+        from dalle_mtf_tpu.ops.attention import causal_attention_tp
+
+        q, k, v = self._qkv(b=2, h=4)
+        # no mesh in scope -> plain path, no shard_map in the jaxpr
+        jaxpr = str(jax.make_jaxpr(
+            lambda *a: causal_attention_tp(
+                *a, batch_axis="data", heads_axis="model", interpret=True
+            )
+        )(q, k, v))
+        assert "shard_map" not in jaxpr
+        # heads=3 does not divide model:4 -> dense-reference fallback,
+        # exact match
+        q3, k3, v3 = (t[:, :3] for t in (q, k, v))
+        with self._mesh():
+            out = causal_attention_tp(
+                q3, k3, v3, batch_axis="data", heads_axis="model",
+                interpret=True,
+            )
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32),
+            np.asarray(attention_reference(q3, k3, v3, True), np.float32),
+            atol=1e-5,
+        )
