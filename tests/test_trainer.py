@@ -353,6 +353,40 @@ class TestDeviceLoop:
         ):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
+    def test_device_loop_byte_gate_falls_back_to_per_step(
+        self, tmp_path, monkeypatch
+    ):
+        """iterations>1 with batches whose staged super-batch would exceed
+        device_loop_max_stage_mb must run per-step dispatch (the measured
+        fastest form for bulky image batches — BENCH.md r5 real-trainer
+        table), never train_multi."""
+        from dalle_mtf_tpu.models.vae import DiscreteVAE, VAEConfig
+        from dalle_mtf_tpu.train.trainer import Trainer as T
+
+        vae_cfg = VAEConfig.from_params(DALLE_PARAMS["vae_params"])
+        vae_params = DiscreteVAE(vae_cfg).init(jax.random.PRNGKey(7))
+        dalle, _v, init_fn, loss_fn, _e, axes = make_dalle_task(DALLE_PARAMS)
+        p = Config.from_mapping(
+            {**DALLE_PARAMS.to_dict(), "train_steps": 4,
+             "steps_per_checkpoint": 4, "log_every": 2, "iterations": 2,
+             # tiny threshold: even the smoke batches exceed it
+             "device_loop_max_stage_mb": 1e-6}
+        )
+        tr = Trainer(
+            p, init_fn, loss_fn, axes,
+            model_dir=str(tmp_path / "gate"),
+            seq_len=dalle.cfg.total_seq_len, frozen_params=vae_params,
+        )
+
+        def boom(*a, **kw):
+            raise AssertionError("train_multi must not run past the gate")
+
+        monkeypatch.setattr(tr, "train_multi", boom)
+        monkeypatch.setattr(T, "train_multi", boom, raising=True)
+        state = tr.run(_dalle_batches(), jax.random.PRNGKey(0))
+        assert int(jax.device_get(state["step"])) == 4
+        tr.close()
+
 
 class TestAuxMetrics:
     def test_aux_survives_microbatching(self, tmp_path):
