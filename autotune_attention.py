@@ -224,9 +224,11 @@ def main():
             print(f"S={s} ({key}): best wedge cap {best} ({rows[best]:.3f} ms)")
         elif not args.fp32:
             # hybrid regime (bf16, S ≤ WEDGE_FWD_MAX_SEQ): the forward is
-            # the capped wedge, the backward the loop kernels — sweep
-            # wedge cap × bwd block. bwd candidates must divide the
-            # wedge's padded length (round_up to cap blocks).
+            # the capped wedge, the backward the FUSED one-call kernel
+            # (r5; _hybrid_backward) — sweep wedge cap × fused (block,
+            # tile), both of which must divide the wedge's padded length.
+            # (cap, bw) keys with bw a single int are the legacy loop-bwd
+            # sweep, kept for the DALLE_TPU_ATTN_LONG_BWD=loop escape.
             rows = {}
             caps = (256, 512) if s128 <= attn.WEDGE_FWD_MAX_SEQ else (0,)
             for cap in caps:
@@ -234,32 +236,37 @@ def main():
                     _, s_pad, _ = attn._wedge_layout(s, itemsize, cap)
                 else:
                     s_pad = -(-s // 256) * 256  # pure-loop fwd, 256 default
-                bwds = [bw for bw in (128, 256, 512, 1088, 2176)
-                        if s_pad % bw == 0]
-                for bw in bwds:
-                    entry = {"loop": {key: [256, 256, bw, bw]}}
-                    if cap:
-                        entry["wedge"] = {key: cap}
-                    attn.set_tune_table(entry)
-                    ms = _time_fused_safe(s, args.b, args.h, args.d, dtype)
-                    if ms == float("inf"):
+                if not cap:
+                    continue
+                for blk in (128, 256, 512):
+                    if s_pad % blk:
                         continue
-                    rows[(cap, bw)] = round(ms, 4)
-                    print(f"S={s} cap={cap or 'loop'} bwd={bw}: {ms:.3f} ms",
-                          flush=True)
+                    for tile in (128, 256, 512):
+                        if s_pad % tile:
+                            continue
+                        attn.set_tune_table({
+                            "wedge": {key: cap},
+                            "hybrid_bwd": {key: [blk, tile]},
+                        })
+                        ms = _time_fused_safe(s, args.b, args.h, args.d,
+                                              dtype)
+                        if ms == float("inf"):
+                            continue
+                        rows[(cap, blk, tile)] = round(ms, 4)
+                        print(f"S={s} cap={cap} fused blk={blk} tile={tile}:"
+                              f" {ms:.3f} ms", flush=True)
             attn.set_tune_table(None)
             if not rows:
                 print(f"S={s} ({key}): every candidate failed; skipping")
                 continue
             best = min(rows, key=rows.get)
-            cap, bw = best
-            if cap:
-                table["wedge"][key] = cap
-            table.setdefault("loop", {})[key] = [256, 256, bw, bw]
-            measurements[f"hybrid {key}"] = {str(list(k)): v
-                                             for k, v in rows.items()}
-            print(f"S={s} ({key}): best cap={cap or 'loop'} bwd={bw} "
-                  f"({rows[best]:.3f} ms)")
+            cap, blk, tile = best
+            table["wedge"][key] = cap
+            table.setdefault("hybrid_bwd", {})[key] = [blk, tile]
+            measurements[f"hybrid_fused {key}"] = {str(list(k)): v
+                                                   for k, v in rows.items()}
+            print(f"S={s} ({key}): best cap={cap} fused blk={blk} "
+                  f"tile={tile} ({rows[best]:.3f} ms)")
         else:
             # fp32 long-S: pure loop family — [bq=bk, bwd_q=bwd_k] grid.
             # The backward pads to the forward's s_pad = round_up(s, bq),
