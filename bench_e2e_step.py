@@ -32,6 +32,9 @@ ITERATIONS = int(os.environ.get("BENCH_E2E_ITERATIONS", "0"))
 # BENCH_E2E_TOKENS=1: pre-tokenized dataset mode (dataset.tokens: true) —
 # batches carry VAE token ids, no images, no per-step frozen-VAE forward.
 TOKENS_MODE = bool(int(os.environ.get("BENCH_E2E_TOKENS", "0")))
+# BENCH_E2E_U8=1: uint8 image transfer (dataset.uint8_images) — 4x smaller
+# host->device batches, normalize on device (tasks._image).
+U8_MODE = bool(int(os.environ.get("BENCH_E2E_U8", "0")))
 WARMUP_STEPS = 3
 BENCH_STEPS = 10
 
@@ -74,6 +77,13 @@ def main():
                 0, dalle.cfg.image_vocab_size,
                 (batch, dalle.cfg.image_seq_len),
             ).astype(np.int32),
+            "caption": caption,
+        }
+    elif U8_MODE:
+        batch_data = {
+            "image": rng.randint(0, 256, (batch, size, size, 3)).astype(
+                np.uint8
+            ),
             "caption": caption,
         }
     else:
@@ -129,7 +139,7 @@ def main():
             steps_timed = BENCH_STEPS
 
     tokens_per_sec_chip = batch * seq * steps_timed / dt / n_chips
-    mode = "_tokens" if TOKENS_MODE else ""
+    mode = "_tokens" if TOKENS_MODE else ("_u8" if U8_MODE else "")
     print(
         json.dumps(
             {

@@ -48,17 +48,31 @@ def list_files(pattern: str) -> list[str]:
     return fs_list_files(pattern)
 
 
-def decode_img(data: bytes, size: int, channels: int = 3) -> np.ndarray:
+def decode_img(
+    data: bytes, size: int, channels: int = 3, normalize: bool = True
+) -> np.ndarray:
     """jpeg bytes -> f32 [size, size, channels] in [-1, 1].
 
     Center-square crop + bilinear resize + (x-127.5)/127.5, the *intended*
     behavior of input_fns.py:4-21. Uses the native libjpeg fast path
     (native/dataloader.cpp) when available, PIL otherwise.
+
+    ``normalize=False`` returns uint8 pixels instead (the
+    ``dataset.uint8_images`` transfer mode: 4x smaller host->device
+    batches; the task normalizes on device with the SAME (x-127.5)/127.5
+    expression, so values are bit-identical to the host-normalized path
+    for PIL-decoded data — PIL's resize output is uint8 anyway. The
+    native decoder's float resize is rounded to the nearest uint8 here,
+    a <=0.5/127.5 per-pixel delta vs its fused-normalize form).
     """
     from dalle_mtf_tpu.data import native  # noqa: PLC0415
 
     out = native.decode_img(data, size, channels)
     if out is not None:
+        if not normalize:
+            return np.clip(
+                np.round(out * 127.5 + 127.5), 0, 255
+            ).astype(np.uint8)
         return out
     from PIL import Image  # noqa: PLC0415
 
@@ -69,10 +83,12 @@ def decode_img(data: bytes, size: int, channels: int = 3) -> np.ndarray:
     left, top = (w - side) // 2, (h - side) // 2
     img = img.crop((left, top, left + side, top + side))
     img = img.resize((size, size), Image.BILINEAR)
-    arr = np.asarray(img, np.float32)
+    arr = np.asarray(img)
     if arr.ndim == 2:
         arr = arr[:, :, None]
-    return (arr - 127.5) / 127.5
+    if not normalize:
+        return arr.astype(np.uint8)
+    return (arr.astype(np.float32) - 127.5) / 127.5
 
 
 class _Pipeline:
@@ -438,15 +454,19 @@ def vae_input_fn(
     files = _shard_files(list_files(path), shard)
     skip = skip_steps * batch
 
+    normalize = not ds.get("uint8_images")
     if ds.get("tfrecords"):
         def parse(record: bytes) -> dict:
             ex = parse_example(record)
-            return {"image": decode_img(ex["image"][0], size, channels)}
+            return {"image": decode_img(ex["image"][0], size, channels,
+                                        normalize=normalize)}
 
         return _Pipeline(
             files, read_tfrecord_file, parse, batch,
             shuffle=not eval, repeat=repeat, skip_samples=skip,
-            native_decode={
+            # the native C++ pool emits fused-normalized f32 batches; the
+            # uint8 transfer mode takes the Python parse path instead
+            native_decode=None if not normalize else {
                 "size": size, "channels": channels,
                 "text_len": 0, "padding_id": 0,
             },
@@ -459,7 +479,8 @@ def vae_input_fn(
 
     def parse_path(path_: str) -> dict:
         with open_file(path_, "rb") as f:
-            return {"image": decode_img(f.read(), size, channels)}
+            return {"image": decode_img(f.read(), size, channels,
+                                        normalize=normalize)}
 
     return _Pipeline(
         files, read_file, parse_path, batch, shuffle=not eval, repeat=repeat,
@@ -519,18 +540,21 @@ def dalle_input_fn(
 
     size = ds["image_size"]
     channels = params.get("n_channels") or 3
+    normalize = not ds.get("uint8_images")
 
     def parse(record: bytes) -> dict:
         ex = parse_example(record)
         return {
-            "image": decode_img(ex["image"][0], size, channels),
+            "image": decode_img(ex["image"][0], size, channels,
+                                normalize=normalize),
             "caption": _caption(ex),
         }
 
     return _Pipeline(
         files, read_tfrecord_file, parse, batch, shuffle=not eval, repeat=repeat,
         skip_samples=skip_steps * batch,
-        native_decode={
+        # (see vae_input_fn: uint8 transfer mode bypasses the native pool)
+        native_decode=None if not normalize else {
             "size": size, "channels": channels,
             "text_len": text_seq_len, "padding_id": padding_id,
         },

@@ -20,6 +20,21 @@ from dalle_mtf_tpu.models.dalle import DALLE, DalleConfig
 from dalle_mtf_tpu.models.vae import DiscreteVAE, VAEConfig, temperature_schedule
 
 
+def _image(batch):
+    """Batch images in compute range [-1, 1].
+
+    f32 batches pass through (host-normalized, the reference's semantics).
+    uint8 batches (``dataset.uint8_images`` — a 4x smaller host->device
+    transfer, the H2D win for image-mode training on thin links) are
+    normalized ON DEVICE with the identical (x - 127.5) / 127.5 f32
+    expression the host path uses, so values are bit-equal for
+    PIL-decoded data (tests/test_data.py pins the loss equality)."""
+    x = batch["image"]
+    if x.dtype == jnp.uint8:
+        return (x.astype(jnp.float32) - 127.5) / 127.5
+    return x
+
+
 def make_vae_task(params: Mapping[str, Any]):
     """Returns (vae, init_fn, train_loss_fn, eval_loss_fn, logical_axes).
 
@@ -36,7 +51,7 @@ def make_vae_task(params: Mapping[str, Any]):
     def train_loss(p, _frozen, batch, rng, step):
         temp = temperature_schedule(params, step)
         loss, _recon = vae.forward(
-            p, batch["image"], rng, temperature=temp,
+            p, _image(batch), rng, temperature=temp,
             hard_gumbel=train_hard, train=True,
         )
         return loss, {}
@@ -52,14 +67,14 @@ def make_vae_task(params: Mapping[str, Any]):
         (diagonal covariance; losses.py::frechet_feature_distance)."""
         temp = temperature_schedule(params, step)
         loss, recon = vae.forward(
-            p, batch["image"], rng, temperature=temp,
+            p, _image(batch), rng, temperature=temp,
             hard_gumbel=eval_hard, train=False,
         )
         mse = jnp.mean(
-            jnp.square(batch["image"].astype(jnp.float32) - recon)
+            jnp.square(_image(batch).astype(jnp.float32) - recon)
         )
         psnr = 10.0 * jnp.log10(4.0 / jnp.maximum(mse, 1e-10))
-        tokens = vae.encode_tokens(p, batch["image"])
+        tokens = vae.encode_tokens(p, _image(batch))
         counts = jnp.bincount(
             tokens.reshape(-1), length=cfg.num_tokens
         ).astype(jnp.float32)
@@ -70,7 +85,7 @@ def make_vae_task(params: Mapping[str, Any]):
         )
 
         ffd = frechet_feature_distance(
-            vae.encoder_features(p, batch["image"]),
+            vae.encoder_features(p, _image(batch)),
             vae.encoder_features(p, recon),
         )
         return loss, {
@@ -124,7 +139,7 @@ def make_dalle_task(params: Mapping[str, Any], constrain=None):
             # in-graph path, so both modes produce identical sequences.
             img_tokens = batch["tokens"].astype(jnp.int32) + cfg.text_vocab_size
         else:
-            img_tokens = vae.encode_tokens(frozen_vae, batch["image"])
+            img_tokens = vae.encode_tokens(frozen_vae, _image(batch))
             img_tokens = (
                 jax.lax.stop_gradient(img_tokens) + cfg.text_vocab_size
             )

@@ -662,3 +662,95 @@ class TestReadaheadTuning:
         monkeypatch.setenv("DALLE_TPU_GCS_CACHE", "background")
         cache, block = _remote_read_hints()
         assert cache == "background" and block == 32 << 20
+
+
+class TestUint8Images:
+    """dataset.uint8_images: the loader ships uint8 pixels (4x smaller
+    host->device batches) and the task normalizes on device with the SAME
+    (x-127.5)/127.5 f32 expression the host path uses — loss must be
+    BIT-identical across modes for PIL-decoded data (whose resize output
+    is uint8 either way)."""
+
+    def _write_records(self, tmp_path, n=6, size=16):
+        rng = np.random.RandomState(0)
+        path = str(tmp_path / "imgs_0.tfrecords")
+        with TFRecordWriter(path) as w:
+            for i in range(n):
+                w.write(serialize_example({
+                    "image": _jpeg_bytes(size, size, tuple(rng.randint(0, 255, 3))),
+                    "caption": list(range(i, i + 3)),
+                }))
+        return path
+
+    def _params(self, tmp_path, uint8):
+        return Config.from_mapping({
+            "model_type": "dalle",
+            "n_embd": 32, "text_vocab_size": 48, "image_vocab_size": 32,
+            "text_seq_len": 8, "n_layers": 1, "n_heads": 2,
+            "train_batch_size": 4, "padding_id": 47,
+            "vae_params": {"dataset": {"image_size": 16},
+                           "num_tokens": 32, "convblocks": [[1, 8], [1, 16]]},
+            "dataset": {
+                "train_path": str(tmp_path / "*.tfrecords"),
+                "image_size": 16,
+                "uint8_images": uint8,
+            },
+        })
+
+    def test_loss_bit_identical_across_transfer_modes(self, tmp_path, monkeypatch):
+        import jax
+
+        from dalle_mtf_tpu.data import native
+        from dalle_mtf_tpu.models.vae import DiscreteVAE, VAEConfig
+        from dalle_mtf_tpu.train.tasks import make_dalle_task
+
+        # pin the PIL decode path: the native decoder's float resize is
+        # quantized (documented <=0.5/127.5 delta), PIL's is exact
+        monkeypatch.setattr(native, "decode_img", lambda *a, **kw: None)
+        self._write_records(tmp_path)
+
+        p8 = self._params(tmp_path, True)
+        p32 = self._params(tmp_path, False)
+        b8 = next(iter(dalle_input_fn(p8, shard=(0, 1))))
+        b32 = next(iter(dalle_input_fn(p32, shard=(0, 1))))
+        assert b8["image"].dtype == np.uint8
+        assert b32["image"].dtype == np.float32
+        # identical pixels up to the exact normalize expression
+        np.testing.assert_array_equal(
+            (b8["image"].astype(np.float32) - 127.5) / 127.5, b32["image"]
+        )
+
+        vae_cfg = VAEConfig.from_params(p8["vae_params"])
+        vae_params = DiscreteVAE(vae_cfg).init(jax.random.PRNGKey(7))
+        dalle, _v, _init, loss_fn, _ev, _ax = make_dalle_task(p32)
+        dp = dalle.init(jax.random.PRNGKey(0))
+        rng = jax.random.PRNGKey(3)
+        l8, _ = loss_fn(dp, vae_params, b8, rng, np.int32(0))
+        l32, _ = loss_fn(dp, vae_params, b32, rng, np.int32(0))
+        assert float(l8) == float(l32)
+
+    def test_vae_task_accepts_uint8(self, tmp_path, monkeypatch):
+        import jax
+
+        from dalle_mtf_tpu.data import native
+        from dalle_mtf_tpu.train.tasks import make_vae_task
+
+        monkeypatch.setattr(native, "decode_img", lambda *a, **kw: None)
+        self._write_records(tmp_path)
+        p = Config.from_mapping({
+            "model_type": "vae", "num_tokens": 32,
+            "convblocks": [[1, 8], [1, 16]],
+            "train_batch_size": 4, "eval_batch_size": 4,
+            "dataset": {"train_path": str(tmp_path / "*.tfrecords"),
+                        "eval_path": str(tmp_path / "*.tfrecords"),
+                        "image_size": 16, "tfrecords": True,
+                        "uint8_images": True},
+        })
+        batch = next(iter(vae_input_fn(p, shard=(0, 1))))
+        assert batch["image"].dtype == np.uint8
+        vae, init_fn, train_loss, eval_loss, _ = make_vae_task(p)
+        vp = init_fn(jax.random.PRNGKey(0))
+        loss, _ = train_loss(vp, None, batch, jax.random.PRNGKey(1), np.int32(0))
+        assert np.isfinite(float(loss))
+        _loss, metrics = eval_loss(vp, None, batch, jax.random.PRNGKey(2), np.int32(0))
+        assert np.isfinite(float(metrics["psnr"]))
