@@ -454,7 +454,10 @@ class Trainer:
 
         state = self.init_state(rng)
         state = self.restore(state)
-        start = int(jax.device_get(state["step"]))
+        # the restored step is known host-side (init sets 0, restore sets
+        # latest_step) — a device_get here would be a needless blocking
+        # fetch at startup, the one operation tunneled runtimes wedge on
+        start = self.latest_step()
         # startup layout dump (reference get_graph_info, utils/utils.py:55-100)
         from dalle_mtf_tpu.utils.introspect import describe_params  # noqa: PLC0415
 
