@@ -397,10 +397,14 @@ class Trainer:
             )
         return self._ckpt_mngr
 
-    def save(self, state: TrainState):
+    def save(self, state: TrainState, step: int | None = None):
         import orbax.checkpoint as ocp
 
-        step = int(jax.device_get(state["step"]))
+        if step is None:
+            # external callers (elastic workers) pass no step; the run()
+            # loop supplies its host-side counter so saving never blocks
+            # on a device fetch (the tunneled-runtime wedge point)
+            step = int(jax.device_get(state["step"]))
         self.ckpt_mngr.save(step, args=ocp.args.StandardSave(state))
 
     def restore(self, state: TrainState) -> TrainState:
@@ -571,7 +575,7 @@ class Trainer:
                 )
 
             if (step // steps_per_ckpt) > ((step - k) // steps_per_ckpt) or step == train_steps:
-                self.save(state)
+                self.save(state, step)
                 if eval_steps and eval_data_iter is not None:
                     eval_rng = jax.random.fold_in(rng, 2)
                     sums: dict[str, list[float]] = {}
