@@ -66,15 +66,16 @@ def make_vae_task(params: Mapping[str, Any]):
         reconstructed images in the encoder's own pooled feature space
         (diagonal covariance; losses.py::frechet_feature_distance)."""
         temp = temperature_schedule(params, step)
+        img = _image(batch)
         loss, recon = vae.forward(
-            p, _image(batch), rng, temperature=temp,
+            p, img, rng, temperature=temp,
             hard_gumbel=eval_hard, train=False,
         )
         mse = jnp.mean(
-            jnp.square(_image(batch).astype(jnp.float32) - recon)
+            jnp.square(img.astype(jnp.float32) - recon)
         )
         psnr = 10.0 * jnp.log10(4.0 / jnp.maximum(mse, 1e-10))
-        tokens = vae.encode_tokens(p, _image(batch))
+        tokens = vae.encode_tokens(p, img)
         counts = jnp.bincount(
             tokens.reshape(-1), length=cfg.num_tokens
         ).astype(jnp.float32)
@@ -85,7 +86,7 @@ def make_vae_task(params: Mapping[str, Any]):
         )
 
         ffd = frechet_feature_distance(
-            vae.encoder_features(p, _image(batch)),
+            vae.encoder_features(p, img),
             vae.encoder_features(p, recon),
         )
         return loss, {

@@ -754,3 +754,20 @@ class TestUint8Images:
         assert np.isfinite(float(loss))
         _loss, metrics = eval_loss(vp, None, batch, jax.random.PRNGKey(2), np.int32(0))
         assert np.isfinite(float(metrics["psnr"]))
+
+    def test_vae_summary_batch_normalized(self):
+        """train_vae's checkpoint image summaries bypass the task's
+        on-device normalize, so the driver must host-normalize uint8
+        summary batches with the identical expression (and pass f32
+        batches through untouched)."""
+        from train_vae import _normalize_summary_batch
+
+        u8 = np.arange(48, dtype=np.uint8).reshape(1, 4, 4, 3)
+        out = _normalize_summary_batch({"image": u8})
+        np.testing.assert_array_equal(
+            out["image"], (u8.astype(np.float32) - 127.5) / 127.5
+        )
+        assert out["image"].dtype == np.float32
+        f32 = (u8.astype(np.float32) - 127.5) / 127.5
+        same = _normalize_summary_batch({"image": f32})
+        assert same["image"] is f32

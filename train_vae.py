@@ -38,6 +38,18 @@ def parse_args():
     return parser.parse_args()
 
 
+def _normalize_summary_batch(batch: dict) -> dict:
+    """uint8 transfer mode (dataset.uint8_images): the loader ships raw
+    uint8 pixels and the TASK normalizes on device (tasks._image); the
+    checkpoint image-summary path bypasses the task, so normalize here
+    with the identical (x-127.5)/127.5 expression — otherwise recon_fn
+    and denorm would see 0..255 values as if they were [-1, 1]."""
+    if batch["image"].dtype == np.uint8:
+        batch = dict(batch)
+        batch["image"] = (batch["image"].astype(np.float32) - 127.5) / 127.5
+    return batch
+
+
 def main():
     args = parse_args()
     from dalle_mtf_tpu.utils.distributed import (
@@ -78,7 +90,9 @@ def main():
     # input vs reconstruction images (model_fns_tf.py:68-78). A dedicated
     # pipeline, NOT next(train_iter): that batch would shift the resumable
     # train stream's sample accounting
-    summary_batch = next(iter(vae_input_fn(params, eval=False)))
+    summary_batch = _normalize_summary_batch(
+        next(iter(vae_input_fn(params, eval=False)))
+    )
     # jit once; a fresh jax.jit per checkpoint would recompile every time
     recon_fn = jax.jit(
         vae.forward, static_argnames=("hard_gumbel", "train")
