@@ -187,7 +187,7 @@ def decode_img(data: bytes, size: int, channels: int = 3) -> np.ndarray | None:
 
 def decode_pool_samples(records, size: int, channels: int, text_len: int,
                         padding_id: int, workers: int | None = None,
-                        window: int | None = None):
+                        window: int | None = None, uint8_out: bool = False):
     """Parallel parse+decode of TFRecord payloads in a C++ thread pool.
 
     ``records``: iterator of raw Example bytes. Yields
@@ -197,7 +197,13 @@ def decode_pool_samples(records, size: int, channels: int, text_len: int,
     jpeg decode (tf.data's parallel C++ map, input_fns.py:24-29, rebuilt);
     records the native path can't handle (non-jpeg payloads, schema drift)
     fall back to the Python parser per record. Returns None when the native
-    library is unavailable (caller uses the Python thread pool)."""
+    library is unavailable (caller uses the Python thread pool).
+
+    ``uint8_out``: emit uint8 [0, 255] pixels instead (the
+    ``dataset.uint8_images`` transfer mode) — the pool's fused-normalized
+    f32 output is rounded back to the nearest uint8, the same quantization
+    ``decode_img(normalize=False)`` applies on the native path (documented
+    <= 0.5/127.5 per-pixel delta vs the f32 batch)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -239,12 +245,17 @@ def decode_pool_samples(records, size: int, channels: int, text_len: int,
                 from dalle_mtf_tpu.data.tfrecord import parse_example  # noqa: PLC0415
 
                 ex = parse_example(rec)
-                sample = {"image": decode_img(ex["image"][0], size, channels)}
+                sample = {"image": decode_img(ex["image"][0], size, channels,
+                                              normalize=not uint8_out)}
                 if text_len > 0:
                     caption = list(ex.get("caption", []))
                     caption = (caption + [padding_id] * text_len)[:text_len]
                     sample["caption"] = np.asarray(caption, np.int32)
                 return sample
+            if uint8_out:
+                img = np.clip(
+                    np.round(img * 127.5 + 127.5), 0, 255
+                ).astype(np.uint8)
             sample = {"image": img}
             if text_len > 0:
                 sample["caption"] = cap

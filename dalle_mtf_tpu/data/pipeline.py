@@ -464,11 +464,14 @@ def vae_input_fn(
         return _Pipeline(
             files, read_tfrecord_file, parse, batch,
             shuffle=not eval, repeat=repeat, skip_samples=skip,
-            # the native C++ pool emits fused-normalized f32 batches; the
-            # uint8 transfer mode takes the Python parse path instead
-            native_decode=None if not normalize else {
+            # uint8 transfer mode keeps the native C++ pool: its fused-
+            # normalized f32 output is rounded back to uint8 (documented
+            # <=0.5/127.5 delta) so the 2x decode throughput and the 4x
+            # smaller H2D transfer compose
+            native_decode={
                 "size": size, "channels": channels,
                 "text_len": 0, "padding_id": 0,
+                "uint8_out": not normalize,
             },
             cycle_length=ds.get("cycle_length") or 4,
             readahead_depth=ds.get("readahead_depth"),
@@ -553,10 +556,12 @@ def dalle_input_fn(
     return _Pipeline(
         files, read_tfrecord_file, parse, batch, shuffle=not eval, repeat=repeat,
         skip_samples=skip_steps * batch,
-        # (see vae_input_fn: uint8 transfer mode bypasses the native pool)
-        native_decode=None if not normalize else {
+        # (see vae_input_fn: uint8 transfer mode keeps the native pool,
+        # rounding its f32 output back to uint8)
+        native_decode={
             "size": size, "channels": channels,
             "text_len": text_seq_len, "padding_id": padding_id,
+            "uint8_out": not normalize,
         },
         cycle_length=ds.get("cycle_length") or 4,
         readahead_depth=ds.get("readahead_depth"),

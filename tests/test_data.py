@@ -707,6 +707,7 @@ class TestUint8Images:
         # pin the PIL decode path: the native decoder's float resize is
         # quantized (documented <=0.5/127.5 delta), PIL's is exact
         monkeypatch.setattr(native, "decode_img", lambda *a, **kw: None)
+        monkeypatch.setattr(native, "decode_pool_samples", lambda *a, **kw: None)
         self._write_records(tmp_path)
 
         p8 = self._params(tmp_path, True)
@@ -736,6 +737,7 @@ class TestUint8Images:
         from dalle_mtf_tpu.train.tasks import make_vae_task
 
         monkeypatch.setattr(native, "decode_img", lambda *a, **kw: None)
+        monkeypatch.setattr(native, "decode_pool_samples", lambda *a, **kw: None)
         self._write_records(tmp_path)
         p = Config.from_mapping({
             "model_type": "vae", "num_tokens": 32,

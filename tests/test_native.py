@@ -191,3 +191,38 @@ class TestIoUringInterleave:
             pytest.skip("native lib unavailable")
         assert native.read_interleaved(["gs://bucket/x.tfrecords"]) is None
         assert native.read_interleaved([]) is None
+
+
+@requires_native
+def test_decode_pool_uint8_out_matches_f32_rounding():
+    """decode_pool_samples(uint8_out=True) emits round(f32*127.5+127.5)
+    of the pool's own f32 output (the dataset.uint8_images transfer
+    mode), same records, same strict order."""
+    from PIL import Image
+
+    from dalle_mtf_tpu.data.tfrecord import serialize_example
+
+    rng = np.random.RandomState(3)
+    records = []
+    for i in range(6):
+        arr = rng.randint(0, 255, (40, 56, 3), np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, "JPEG", quality=95)
+        records.append(
+            serialize_example({"image": buf.getvalue(), "caption": [i, i + 1]})
+        )
+
+    f32 = list(native.decode_pool_samples(
+        iter(records), size=24, channels=3, text_len=4, padding_id=0))
+    u8 = list(native.decode_pool_samples(
+        iter(records), size=24, channels=3, text_len=4, padding_id=0,
+        uint8_out=True))
+    assert f32 is not None and u8 is not None and len(u8) == 6
+    for a, b in zip(f32, u8):
+        assert b["image"].dtype == np.uint8
+        np.testing.assert_array_equal(
+            b["image"],
+            np.clip(np.round(a["image"] * 127.5 + 127.5), 0, 255
+                    ).astype(np.uint8),
+        )
+        np.testing.assert_array_equal(a["caption"], b["caption"])
