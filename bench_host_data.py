@@ -65,6 +65,9 @@ def main():
     ap.add_argument("--size", type=int, default=256)  # decode target
     ap.add_argument("--shards", type=int, default=8)
     ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--uint8", action="store_true",
+                    help="dataset.uint8_images transfer mode (native pool "
+                         "output rounded back to uint8)")
     args = ap.parse_args()
 
     from dalle_mtf_tpu.data.pipeline import dalle_input_fn
@@ -74,7 +77,8 @@ def main():
         pattern = _make_shards(tmp, args.images, args.px, args.shards)
         params = Config.from_mapping(
             {
-                "dataset": {"train_path": pattern, "image_size": args.size},
+                "dataset": {"train_path": pattern, "image_size": args.size,
+                            "uint8_images": bool(args.uint8)},
                 "train_batch_size": args.batch,
                 "text_seq_len": 24,
                 "padding_id": 50257,
@@ -95,12 +99,14 @@ def main():
             return args.batch * n_batches / (time.perf_counter() - t0)
 
         rate = max(run_epoch() for _ in range(2))
+        fmt = "uint8" if args.uint8 else "f32"
         print(
             json.dumps(
                 {
-                    "metric": "host_data_images_per_sec",
+                    "metric": "host_data_images_per_sec"
+                    + ("_uint8" if args.uint8 else ""),
                     "value": round(rate, 1),
-                    "unit": f"img/s ({args.px}px jpeg -> {args.size}px f32)",
+                    "unit": f"img/s ({args.px}px jpeg -> {args.size}px {fmt})",
                 }
             )
         )
