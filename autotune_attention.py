@@ -222,22 +222,16 @@ def main():
             table["wedge"][key] = best
             measurements[f"wedge {key}"] = {str(k): v for k, v in rows.items()}
             print(f"S={s} ({key}): best wedge cap {best} ({rows[best]:.3f} ms)")
-        elif not args.fp32:
+        elif not args.fp32 and s128 <= attn.WEDGE_FWD_MAX_SEQ:
             # hybrid regime (bf16, S ≤ WEDGE_FWD_MAX_SEQ): the forward is
             # the capped wedge, the backward the FUSED one-call kernel
             # (r5; _hybrid_backward) — sweep wedge cap × fused (block,
             # tile), both of which must divide the wedge's padded length.
-            # (cap, bw) keys with bw a single int are the legacy loop-bwd
-            # sweep, kept for the DALLE_TPU_ATTN_LONG_BWD=loop escape.
+            # bf16 S > WEDGE_FWD_MAX_SEQ (like fp32 long-S) runs the pure
+            # loop family and takes the loop sweep below.
             rows = {}
-            caps = (256, 512) if s128 <= attn.WEDGE_FWD_MAX_SEQ else (0,)
-            for cap in caps:
-                if cap:
-                    _, s_pad, _ = attn._wedge_layout(s, itemsize, cap)
-                else:
-                    s_pad = -(-s // 256) * 256  # pure-loop fwd, 256 default
-                if not cap:
-                    continue
+            for cap in (256, 512):
+                _, s_pad, _ = attn._wedge_layout(s, itemsize, cap)
                 for blk in (128, 256, 512):
                     if s_pad % blk:
                         continue
@@ -268,7 +262,8 @@ def main():
             print(f"S={s} ({key}): best cap={cap} fused blk={blk} "
                   f"tile={tile} ({rows[best]:.3f} ms)")
         else:
-            # fp32 long-S: pure loop family — [bq=bk, bwd_q=bwd_k] grid.
+            # loop-family regimes (fp32 long-S, and bf16 beyond
+            # WEDGE_FWD_MAX_SEQ): [bq=bk, bwd_q=bwd_k] grid.
             # The backward pads to the forward's s_pad = round_up(s, bq),
             # so bwd candidates must divide THAT; entries without an
             # explicit bwd fall back to the dispatch default (bq, valid

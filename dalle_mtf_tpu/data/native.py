@@ -253,9 +253,9 @@ def decode_pool_samples(records, size: int, channels: int, text_len: int,
                     sample["caption"] = np.asarray(caption, np.int32)
                 return sample
             if uint8_out:
-                img = np.clip(
-                    np.round(img * 127.5 + 127.5), 0, 255
-                ).astype(np.uint8)
+                from dalle_mtf_tpu.data.pipeline import to_uint8  # noqa: PLC0415
+
+                img = to_uint8(img)
             sample = {"image": img}
             if text_len > 0:
                 sample["caption"] = cap

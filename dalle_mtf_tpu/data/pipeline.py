@@ -48,6 +48,17 @@ def list_files(pattern: str) -> list[str]:
     return fs_list_files(pattern)
 
 
+def to_uint8(img: np.ndarray) -> np.ndarray:
+    """Round a fused-normalized f32 image ([-1, 1]) back to uint8 pixels —
+    THE quantization of the ``dataset.uint8_images`` transfer mode.
+
+    Single definition on purpose: the documented <=0.5/127.5 per-pixel
+    delta contract holds only while the native pool
+    (native.decode_pool_samples) and the per-record decode below apply
+    bit-identical rounding."""
+    return np.clip(np.round(img * 127.5 + 127.5), 0, 255).astype(np.uint8)
+
+
 def decode_img(
     data: bytes, size: int, channels: int = 3, normalize: bool = True
 ) -> np.ndarray:
@@ -70,9 +81,7 @@ def decode_img(
     out = native.decode_img(data, size, channels)
     if out is not None:
         if not normalize:
-            return np.clip(
-                np.round(out * 127.5 + 127.5), 0, 255
-            ).astype(np.uint8)
+            return to_uint8(out)
         return out
     from PIL import Image  # noqa: PLC0415
 

@@ -1513,6 +1513,45 @@ def _axis_is_manual(ax: str) -> bool:
         return False
 
 
+def _resolve_tp_mesh(batch_axis: str | None, heads_axis: str | None):
+    """THE shared wrap policy for running Mosaic kernels under DP/TP
+    (used by both causal_attention_tp and the packed family — keep the
+    rules here so the two arms cannot drift).
+
+    Returns ``(mesh, ba, ha)`` where ba/ha are the batch/heads mesh axes
+    a shard_map should map over, or ``(None, None, None)`` when no wrap
+    applies: no ambient mesh, neither axis present with size > 1, or the
+    trace is already inside a manual region (nesting would be invalid)."""
+    from dalle_mtf_tpu.ops.ring_attention import ambient_mesh  # noqa: PLC0415
+
+    mesh = ambient_mesh()
+    if mesh is None:
+        return None, None, None
+    ba = (batch_axis if batch_axis in mesh.axis_names
+          and mesh.shape[batch_axis] > 1 else None)
+    ha = (heads_axis if heads_axis in mesh.axis_names
+          and mesh.shape[heads_axis] > 1 else None)
+    if ba is None and ha is None:
+        return None, None, None
+    if any(_axis_is_manual(ax) for ax in mesh.axis_names):
+        return None, None, None
+    return mesh, ba, ha
+
+
+def _fold_shard_rng(rng: jax.Array, ba: str | None, ha: str | None,
+                    nh: int) -> jax.Array:
+    """Decorrelate dropout across shards: fold the base rng with the
+    device's global (batch, heads) shard index (batch-major), the same
+    scheme ring_attention_auto uses. ``nh`` = heads-axis size (1 if
+    unsharded)."""
+    ix = jnp.zeros((), jnp.int32)
+    if ba is not None:
+        ix = ix + jax.lax.axis_index(ba) * nh
+    if ha is not None:
+        ix = ix + jax.lax.axis_index(ha)
+    return jax.random.fold_in(rng, ix)
+
+
 def causal_attention_tp(
     q: jax.Array,
     k: jax.Array,
@@ -1547,27 +1586,19 @@ def causal_attention_tp(
     stage), or a dim is not divisible by its axis (GSPMD pads XLA ops but
     shard_map cannot; the dense reference handles that rare case).
     """
-    from dalle_mtf_tpu.ops.ring_attention import ambient_mesh  # noqa: PLC0415
-
     plain = functools.partial(
         causal_attention, window=window, dropout_rate=dropout_rate,
         dropout_rng=dropout_rng, interpret=interpret,
     )
     if not (_on_tpu() or interpret):
         return plain(q, k, v)
-    mesh = ambient_mesh()
+    mesh, ba, ha = _resolve_tp_mesh(batch_axis, heads_axis)
     if mesh is None:
         return plain(q, k, v)
-    ba = (batch_axis if batch_axis in mesh.axis_names
-          and mesh.shape[batch_axis] > 1 else None)
-    ha = (heads_axis if heads_axis in mesh.axis_names
-          and mesh.shape[heads_axis] > 1 else None)
-    if ba is None and ha is None:
-        return plain(q, k, v)
-    if any(_axis_is_manual(ax) for ax in mesh.axis_names):
-        return plain(q, k, v)  # already inside a manual region
     b, h = q.shape[0], q.shape[1]
     if (ba and b % mesh.shape[ba]) or (ha and h % mesh.shape[ha]):
+        # non-dividing shard: shard_map cannot pad, the dense reference
+        # partitions fine under GSPMD
         return attention_reference(
             q, k, v, True, window, dropout_rate, dropout_rng
         )
@@ -1579,18 +1610,11 @@ def causal_attention_tp(
         rate = 0.0
     else:
         rate = float(dropout_rate)
+    nh = mesh.shape[ha] if ha is not None else 1
 
     def body(q_, k_, v_, rng_):
         if rate > 0.0:
-            # unique per-device fold: global shard index over (batch, heads)
-            ix = jnp.zeros((), jnp.int32)
-            if ba is not None:
-                ix = ix + jax.lax.axis_index(ba) * (
-                    mesh.shape[ha] if ha is not None else 1
-                )
-            if ha is not None:
-                ix = ix + jax.lax.axis_index(ha)
-            rng_ = jax.random.fold_in(rng_, ix)
+            rng_ = _fold_shard_rng(rng_, ba, ha, nh)
         return causal_attention(
             q_, k_, v_, window=window,
             dropout_rate=rate, dropout_rng=rng_ if rate > 0.0 else None,

@@ -494,68 +494,59 @@ def causal_attention_packed(
     b, s, e = q.shape
     use_pallas = _on_tpu() or interpret
     if use_pallas and (batch_axis or heads_axis):
+        # mesh/axis resolution + manual-region guard + per-shard rng fold
+        # are THE shared policy in ops.attention (_resolve_tp_mesh /
+        # _fold_shard_rng) — only the packed [B, S, H*D] specs and the
+        # divisibility rule for the folded heads dim live here
         from dalle_mtf_tpu.ops.attention import (  # noqa: PLC0415
-            _axis_is_manual,
-        )
-        from dalle_mtf_tpu.ops.ring_attention import (  # noqa: PLC0415
-            ambient_mesh,
+            _fold_shard_rng,
+            _resolve_tp_mesh,
         )
 
-        mesh = ambient_mesh()
+        mesh, ba, ha = _resolve_tp_mesh(batch_axis, heads_axis)
         if mesh is not None:
-            ba = (batch_axis if batch_axis in mesh.axis_names
-                  and mesh.shape[batch_axis] > 1 else None)
-            ha = (heads_axis if heads_axis in mesh.axis_names
-                  and mesh.shape[heads_axis] > 1 else None)
-            if ((ba is not None or ha is not None)
-                    and not any(_axis_is_manual(ax) for ax in mesh.axis_names)):
-                nb = mesh.shape[ba] if ba else 1
-                nh = mesh.shape[ha] if ha else 1
-                if b % nb == 0 and n_heads % nh == 0:
-                    from jax import shard_map  # noqa: PLC0415
-                    from jax.sharding import PartitionSpec as P  # noqa: PLC0415
+            nb = mesh.shape[ba] if ba else 1
+            nh = mesh.shape[ha] if ha else 1
+            if b % nb == 0 and n_heads % nh == 0:
+                from jax import shard_map  # noqa: PLC0415
+                from jax.sharding import PartitionSpec as P  # noqa: PLC0415
 
-                    rate = (float(dropout_rate)
-                            if dropout_rng is not None else 0.0)
-                    rng = (dropout_rng if dropout_rng is not None
-                           else jax.random.PRNGKey(0))
+                rate = (float(dropout_rate)
+                        if dropout_rng is not None else 0.0)
+                rng = (dropout_rng if dropout_rng is not None
+                       else jax.random.PRNGKey(0))
 
-                    def body(q_, k_, v_, rng_):
-                        if rate > 0.0:
-                            ix = jnp.zeros((), jnp.int32)
-                            if ba is not None:
-                                ix = ix + jax.lax.axis_index(ba) * nh
-                            if ha is not None:
-                                ix = ix + jax.lax.axis_index(ha)
-                            rng_ = jax.random.fold_in(rng_, ix)
-                        return causal_attention_packed(
-                            q_, k_, v_, n_heads // nh, window=window,
-                            interpret=interpret, dropout_rate=rate,
-                            dropout_rng=rng_ if rate > 0.0 else None,
-                        )
-
-                    spec = P(ba, None, ha)
-                    fn = shard_map(
-                        body, mesh=mesh,
-                        in_specs=(spec, spec, spec, P()),
-                        out_specs=spec,
-                        check_vma=False,
+                def body(q_, k_, v_, rng_):
+                    if rate > 0.0:
+                        rng_ = _fold_shard_rng(rng_, ba, ha, nh)
+                    return causal_attention_packed(
+                        q_, k_, v_, n_heads // nh, window=window,
+                        interpret=interpret, dropout_rate=rate,
+                        dropout_rng=rng_ if rate > 0.0 else None,
                     )
-                    return fn(q, k, v, rng)
-                # non-dividing shard: the dense reference partitions fine
-                from dalle_mtf_tpu.ops.attention import (  # noqa: PLC0415
-                    attention_reference,
-                )
 
-                d = e // n_heads
-                qh, kh, vh = (
-                    t.reshape(b, s, n_heads, d).transpose(0, 2, 1, 3)
-                    for t in (q, k, v)
+                spec = P(ba, None, ha)
+                fn = shard_map(
+                    body, mesh=mesh,
+                    in_specs=(spec, spec, spec, P()),
+                    out_specs=spec,
+                    check_vma=False,
                 )
-                out = attention_reference(
-                    qh, kh, vh, True, window, dropout_rate, dropout_rng
-                )
-                return out.transpose(0, 2, 1, 3).reshape(b, s, e)
+                return fn(q, k, v, rng)
+            # non-dividing shard: the dense reference partitions fine
+            from dalle_mtf_tpu.ops.attention import (  # noqa: PLC0415
+                attention_reference,
+            )
+
+            d = e // n_heads
+            qh, kh, vh = (
+                t.reshape(b, s, n_heads, d).transpose(0, 2, 1, 3)
+                for t in (q, k, v)
+            )
+            out = attention_reference(
+                qh, kh, vh, True, window, dropout_rate, dropout_rng
+            )
+            return out.transpose(0, 2, 1, 3).reshape(b, s, e)
     if use_pallas and packed_kernel_eligible(s, e, n_heads,
                                              q.dtype.itemsize):
         if dropout_rate > 0.0 and dropout_rng is not None:

@@ -112,6 +112,16 @@ def fused_adamw(
     the optax chain within float tolerance). Selected via config
     ``fused_optimizer: true`` — the default stays the optax chain, whose
     trajectories the committed loss fixtures pin bitwise.
+
+    Two scoped caveats vs the optax chain:
+    - moments are always f32 here, while ``optax.adamw(mu_dtype=None)``
+      keeps them in the param dtype. The trainer's precision policy makes
+      master params f32 (utils/precision.py), so the two coincide on
+      every shipped path; a hypothetical non-f32-param run would diverge
+      (and get f32 moments — the safer choice).
+    - the opt state is a {count, m, v} dict, not optax's tuple-of-states:
+      flipping ``fused_optimizer`` mid-run makes checkpoint restore fail
+      loudly on the tree mismatch (start a fresh run to switch).
     """
 
     def init(params):

@@ -530,20 +530,36 @@ class Trainer:
                 yield k
                 s += k
 
+        data_done = False
+
         def _stage(k):
             # k>1: host-stack + start the H2D transfer of the super-batch;
-            # k==1: raw host batch (train_step stages it itself, cheap)
-            if k > 1:
-                return self.stage_batches([next(data_iter) for _ in range(k)])
-            return next(data_iter)
+            # k==1: raw host batch (train_step stages it itself, cheap).
+            # A finite (non-repeating) data iterator may exhaust here —
+            # staging runs BEFORE the current chunk's log/checkpoint
+            # bookkeeping, so exhaustion must not raise through it: return
+            # None and let the loop finish the chunk cleanly instead.
+            nonlocal data_done
+            try:
+                if k > 1:
+                    return self.stage_batches(
+                        [next(data_iter) for _ in range(k)]
+                    )
+                return next(data_iter)
+            except StopIteration:
+                data_done = True
+                return None
 
         t0 = time.time()
         window_start_step = start
         step = start
         first = True
+        last_saved = None
         chunk_iter = _chunk_lengths()
         k = next(chunk_iter, None)
         staged = _stage(k) if k else None
+        if k and staged is None:
+            k = None  # empty stream: nothing to train
         while k:
             k_next = next(chunk_iter, None)
             if k > 1:
@@ -559,6 +575,12 @@ class Trainer:
             # stage the NEXT chunk before any metric fetch blocks the host:
             # its host stacking + H2D transfer overlap this chunk's compute
             staged = _stage(k_next) if k_next else None
+            if k_next and staged is None:
+                logger.info(
+                    "data stream exhausted after step %d; stopping early",
+                    step + k,
+                )
+                k_next = None
             step += k
             if (step // log_every) > ((step - k) // log_every) or first:
                 first = False
@@ -576,6 +598,7 @@ class Trainer:
 
             if (step // steps_per_ckpt) > ((step - k) // steps_per_ckpt) or step == train_steps:
                 self.save(state, step)
+                last_saved = step
                 if eval_steps and eval_data_iter is not None:
                     eval_rng = jax.random.fold_in(rng, 2)
                     sums: dict[str, list[float]] = {}
@@ -602,6 +625,10 @@ class Trainer:
                 if summary_fn is not None:
                     summary_fn(self, state, step)
             k = k_next
+        if data_done and step > start and last_saved != step:
+            # early exhaustion between checkpoint boundaries: persist the
+            # trained state rather than dropping the tail
+            self.save(state, step)
         self.wait_for_checkpoints()
         return state
 

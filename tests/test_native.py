@@ -218,11 +218,9 @@ def test_decode_pool_uint8_out_matches_f32_rounding():
         iter(records), size=24, channels=3, text_len=4, padding_id=0,
         uint8_out=True))
     assert f32 is not None and u8 is not None and len(u8) == 6
+    from dalle_mtf_tpu.data.pipeline import to_uint8
+
     for a, b in zip(f32, u8):
         assert b["image"].dtype == np.uint8
-        np.testing.assert_array_equal(
-            b["image"],
-            np.clip(np.round(a["image"] * 127.5 + 127.5), 0, 255
-                    ).astype(np.uint8),
-        )
+        np.testing.assert_array_equal(b["image"], to_uint8(a["image"]))
         np.testing.assert_array_equal(a["caption"], b["caption"])

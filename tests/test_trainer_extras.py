@@ -165,3 +165,56 @@ def test_microbatching_combined_with_tp(tmp_path):
     state, m = tr.train_step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(jax.device_get(m["loss"])))
     tr.close()
+
+
+def test_finite_stream_exhaustion_saves_tail(tmp_path):
+    """A finite (non-repeating) data iterator that ends before train_steps
+    must stop the run cleanly — completing the current chunk's log/ckpt
+    bookkeeping and saving the trained tail — instead of raising
+    StopIteration out of the next-chunk staging (which used to lose the
+    boundary checkpoint; r5 review finding)."""
+    import jax
+
+    from dalle_mtf_tpu.train.tasks import make_vae_task
+    from dalle_mtf_tpu.train.trainer import Trainer
+    from dalle_mtf_tpu.utils.config import Config
+
+    params_cfg = Config.from_mapping(
+        {
+            "config_name": "finite_stream",
+            "dataset": {"image_size": 8},
+            "num_tokens": 16,
+            "convblocks": [[1, 8]],
+            "train_batch_size": 8,
+            "train_steps": 50,
+            "steps_per_checkpoint": 50,
+            "iterations": 4,  # device-loop chunks engage the staging path
+            "lr": 1e-3,
+            "warmup_steps": 0,
+            "mesh_shape": "data:2",
+            "layout": "batch_dim:data",
+        }
+    )
+    _v, init_fn, loss_fn, _e, axes = make_vae_task(params_cfg)
+
+    def finite_batches(n):
+        rng = np.random.RandomState(0)
+        for _ in range(n):
+            yield {
+                "image": np.asarray(
+                    rng.uniform(-1, 1, (8, 8, 8, 3)), np.float32
+                )
+            }
+
+    t = Trainer(
+        params_cfg, init_fn, loss_fn, axes,
+        model_dir=str(tmp_path), seq_len=4,
+    )
+    state = t.run(finite_batches(9), jax.random.PRNGKey(0))
+    t.wait_for_checkpoints()
+    # 1 (first single-step chunk) + 2 full chunks of 4 = 9 consumed; the
+    # 10th next() raised -> run stopped at step 9 and saved the tail
+    saved = t.latest_step()
+    assert saved == 9, saved
+    assert int(jax.device_get(state["step"])) == 9
+    t.close()
